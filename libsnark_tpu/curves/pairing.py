@@ -1,0 +1,164 @@
+"""Host-side ate pairings for BN and BLS12 curve families.
+
+Strategy: embed both pairing arguments into E(Fq12) through the sextic
+(un)twist and run a generic affine Miller loop with line-function
+evaluation, then final-exponentiate. This favors auditability over raw
+speed -- pairings sit only on the verifier / setup paths (a handful per
+proof; see reference r1cs_gg_ppzksnark.tcc:655-684), never on the TPU
+prover hot path. Optimized sparse-line / cyclotomic versions can slot in
+behind the same API later.
+
+API parity targets (libff): precompute_G1/G2, miller_loop,
+double_miller_loop, final_exponentiation, reduced_pairing
+(use sites r1cs_gg_ppzksnark.tcc:613-675).
+"""
+from __future__ import annotations
+
+
+class PairingEngine:
+    """Ate pairing over a sextic-twisted curve.
+
+    Parameters
+    ----------
+    curve : the Curve bundle (needs Fq12, G1, G2, twist type, loop count)
+    """
+
+    def __init__(self, Fq12, G1, G2, loop_count, family, twist_type="D",
+                 loop_is_neg=False, r=None):
+        self.Fq12 = Fq12
+        self.G1 = G1
+        self.G2 = G2
+        self.loop_count = loop_count          # |6x+2| for BN, |x| for BLS
+        self.loop_is_neg = loop_is_neg
+        self.family = family                  # "bn" or "bls"
+        self.twist_type = twist_type
+        self.r = r
+        q = Fq12.char
+        # (q^12-1)/r = (q^6-1)(q^2+1) * hard ; hard = (q^4-q^2+1)/r
+        assert (q ** 4 - q ** 2 + 1) % r == 0
+        self._hard_exp = (q ** 4 - q ** 2 + 1) // r
+        # w^2 and w^3 as Fq12 elements (w generates Fq12 over Fq2, w^6 = xi)
+        Fq6 = Fq12.base_field
+        Fq2 = Fq6.base_field
+        self._w2 = Fq12(Fq6(Fq2.zero(), Fq2.one(), Fq2.zero()), Fq6.zero())
+        self._w3 = Fq12(Fq6.zero(), Fq6(Fq2.zero(), Fq2.one(), Fq2.zero()))
+
+    # -- embeddings ----------------------------------------------------------
+    def embed_g1(self, P):
+        """G1(Fq) point -> E(Fq12) affine coords."""
+        if P.is_zero():
+            return None
+        Fq12 = self.Fq12
+        Fq6 = Fq12.base_field
+        Fq2 = Fq6.base_field
+        lift = lambda a: Fq12(Fq6(Fq2(a, type(a)())))
+        return (lift(P.x), lift(P.y))
+
+    def embed_g2(self, Q):
+        """G2 (on twist E'/Fq2) -> E(Fq12) via untwist."""
+        if Q.is_zero():
+            return None
+        Fq12 = self.Fq12
+        Fq6 = Fq12.base_field
+        lift2 = lambda a: Fq12(Fq6(a))  # Fq2 element into Fq12 c0.c0
+        if self.twist_type == "D":
+            # E': y^2 = x^3 + b/xi ; psi(x,y) = (x w^2, y w^3)
+            return (lift2(Q.x) * self._w2, lift2(Q.y) * self._w3)
+        else:
+            # M twist: E': y^2 = x^3 + b xi ; psi(x,y) = (x / w^2, y / w^3)
+            return (lift2(Q.x) / self._w2, lift2(Q.y) / self._w3)
+
+    # -- Miller machinery ------------------------------------------------------
+    @staticmethod
+    def _line(P1, P2, T):
+        """Evaluate the line through P1,P2 (or tangent if equal) at T.
+
+        Points are (x, y) pairs over Fq12; curve has a = 0.
+        Returns a field element; vertical lines return x_T - x_P1.
+        """
+        x1, y1 = P1
+        x2, y2 = P2
+        xt, yt = T
+        if x1 == x2 and y1 == y2:
+            slope = (x1 * x1 * 3) / (y1 + y1)
+        elif x1 == x2:
+            return xt - x1
+        else:
+            slope = (y2 - y1) / (x2 - x1)
+        return slope * (xt - x1) - (yt - y1)
+
+    @staticmethod
+    def _add(P1, P2):
+        x1, y1 = P1
+        x2, y2 = P2
+        if x1 == x2 and y1 == y2:
+            slope = (x1 * x1 * 3) / (y1 + y1)
+        elif x1 == x2:
+            return None  # infinity
+        else:
+            slope = (y2 - y1) / (x2 - x1)
+        x3 = slope * slope - x1 - x2
+        y3 = slope * (x1 - x3) - y1
+        return (x3, y3)
+
+    def miller_loop(self, embQ, embP, with_final_steps=True):
+        """f_{loop,Q}(P); embQ/embP are embedded E(Fq12) affine pairs."""
+        Fq12 = self.Fq12
+        if embQ is None or embP is None:
+            return Fq12.one()
+        Q, P = embQ, embP
+        R = Q
+        f = Fq12.one()
+        n = self.loop_count
+        for i in range(n.bit_length() - 2, -1, -1):
+            f = f * f * self._line(R, R, P)
+            R = self._add(R, R)
+            if (n >> i) & 1:
+                f = f * self._line(R, Q, P)
+                R = self._add(R, Q)
+        if self.loop_is_neg:
+            # f_{-n} = 1/f_n (up to vertical lines killed by final exp)
+            f = f.inverse()
+            R = (R[0], -R[1])
+        if self.family == "bn" and with_final_steps:
+            # frobenius twists: Q1 = pi_q(Q), Q2 = pi_q^2(Q)
+            Q1 = (Q[0].frobenius(1), Q[1].frobenius(1))
+            Q2 = (Q[0].frobenius(2), Q[1].frobenius(2))
+            f = f * self._line(R, Q1, P)
+            R = self._add(R, Q1)
+            nQ2 = (Q2[0], -Q2[1])
+            f = f * self._line(R, nQ2, P)
+            R = self._add(R, nQ2)
+        return f
+
+    def double_miller_loop(self, embQ1, embP1, embQ2, embP2):
+        """Product of two Miller loops (libff double_miller_loop parity)."""
+        return (self.miller_loop(embQ1, embP1) *
+                self.miller_loop(embQ2, embP2))
+
+    def final_exponentiation(self, f):
+        """f^((q^12-1)/r): easy part by frobenius, hard part by direct pow."""
+        # easy: f^(q^6-1) then ^(q^2+1)
+        m = f.frobenius(6) * f.inverse()          # f^(q^6-1)
+        m = m.frobenius(2) * m                    # ^(q^2+1)
+        # hard: ^((q^4-q^2+1)/r)
+        return m ** self._hard_exp
+
+    # -- public API -------------------------------------------------------------
+    def pairing(self, P, Q):
+        """Reduced ate pairing e(P, Q), P in G1, Q in G2."""
+        if P.is_zero() or Q.is_zero():
+            return self.Fq12.one()
+        f = self.miller_loop(self.embed_g2(Q), self.embed_g1(P))
+        return self.final_exponentiation(f)
+
+    reduced_pairing = pairing
+
+    def pairing_check(self, pairs):
+        """prod e(Pi, Qi) == 1 check, single final exponentiation."""
+        f = self.Fq12.one()
+        for P, Q in pairs:
+            if P.is_zero() or Q.is_zero():
+                continue
+            f = f * self.miller_loop(self.embed_g2(Q), self.embed_g1(P))
+        return self.final_exponentiation(f) == self.Fq12.one()
