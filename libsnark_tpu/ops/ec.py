@@ -1,0 +1,226 @@
+"""Batched elliptic-curve group kernels (libff G1/G2 equivalent).
+
+Points are Jacobian-coordinate triples ``(X, Y, Z)`` of field arrays
+(infinity encoded as Z = 0), batched on trailing axes and generic over the
+coordinate-field kernel (FpKernel for G1, Fp2Kernel for G2). All group ops
+are branchless: exceptional cases (infinity inputs, P == Q, P == -Q) are
+resolved with lane-wise selects, which is both constant-time (reference
+flags a timing side channel in its own impl, README.md:144-152) and the
+natural SIMD formulation for the VPU.
+
+Formulas (a = 0 curves): dbl-2009-l doubling, add-2007-bl addition,
+madd-2007-bl mixed addition.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CurveKernel:
+    """Batched Jacobian group ops over field kernel ``fk``."""
+
+    def __init__(self, fk, name="G"):
+        self.fk = fk
+        self.name = name
+
+    def __hash__(self):
+        return hash((self.name, self.fk))
+
+    def __eq__(self, o):
+        return isinstance(o, CurveKernel) and o.name == self.name and o.fk == self.fk
+
+    # -- constructors ---------------------------------------------------------
+    def zero(self, batch_shape):
+        one = self.fk.one(batch_shape)
+        return (one, one, self.fk.zeros(batch_shape))
+
+    def is_zero(self, P):
+        return self.fk.is_zero(P[2])
+
+    def select(self, cond, P, Q):
+        return tuple(self.fk.select(cond, a, b) for a, b in zip(P, Q))
+
+    def neg(self, P):
+        return (P[0], self.fk.neg(P[1]), P[2])
+
+    # -- group law ------------------------------------------------------------
+    def dbl(self, P):
+        """Jacobian doubling, a=0 (dbl-2009-l). Uniform: handles Z=0."""
+        fk = self.fk
+        X, Y, Z = P
+        A = fk.sqr(X)
+        B = fk.sqr(Y)
+        C = fk.sqr(B)
+        t = fk.sqr(fk.add(X, B))
+        D = fk.double(fk.sub(fk.sub(t, A), C))
+        E = fk.add(fk.add(A, A), A)
+        F = fk.sqr(E)
+        X3 = fk.sub(F, fk.double(D))
+        eight_c = fk.double(fk.double(fk.double(C)))
+        Y3 = fk.sub(fk.mul(E, fk.sub(D, X3)), eight_c)
+        Z3 = fk.double(fk.mul(Y, Z))
+        return (X3, Y3, Z3)
+
+    def add(self, P, Q):
+        """Complete Jacobian addition via add-2007-bl + selects."""
+        fk = self.fk
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = fk.sqr(Z1)
+        Z2Z2 = fk.sqr(Z2)
+        U1 = fk.mul(X1, Z2Z2)
+        U2 = fk.mul(X2, Z1Z1)
+        S1 = fk.mul(fk.mul(Y1, Z2), Z2Z2)
+        S2 = fk.mul(fk.mul(Y2, Z1), Z1Z1)
+        H = fk.sub(U2, U1)
+        I = fk.sqr(fk.double(H))
+        J = fk.mul(H, I)
+        rr = fk.double(fk.sub(S2, S1))
+        V = fk.mul(U1, I)
+        X3 = fk.sub(fk.sub(fk.sqr(rr), J), fk.double(V))
+        Y3 = fk.sub(fk.mul(rr, fk.sub(V, X3)),
+                    fk.double(fk.mul(S1, J)))
+        Z3 = fk.mul(fk.sub(fk.sub(fk.sqr(fk.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+        return self._fixup_add(P, Q, (X3, Y3, Z3), H, rr)
+
+    def _fixup_add(self, P, Q, R, H, rr):
+        fk = self.fk
+        p_inf = self.is_zero(P)
+        q_inf = self.is_zero(Q)
+        same_x = fk.is_zero(H)
+        same_y = fk.is_zero(rr)
+        is_double = jnp.logical_and(jnp.logical_and(same_x, same_y),
+                                    jnp.logical_not(jnp.logical_or(p_inf, q_inf)))
+        # default formula result (gives Z3=0 when H=0, i.e. infinity for P=-Q)
+        out = R
+        out = self.select(is_double, self.dbl(P), out)
+        out = self.select(q_inf, P, out)
+        out = self.select(p_inf, Q, out)
+        return out
+
+    def madd(self, P, Q_aff):
+        """Mixed addition: Q given in affine (X2, Y2), Z2 = 1 (madd-2007-bl).
+
+        Q_aff may also carry an explicit infinity mask as third element.
+        """
+        fk = self.fk
+        X1, Y1, Z1 = P
+        if len(Q_aff) == 3:
+            X2, Y2, q_inf = Q_aff
+        else:
+            (X2, Y2), q_inf = Q_aff, None
+        Z1Z1 = fk.sqr(Z1)
+        U2 = fk.mul(X2, Z1Z1)
+        S2 = fk.mul(fk.mul(Y2, Z1), Z1Z1)
+        H = fk.sub(U2, X1)
+        HH = fk.sqr(H)
+        I = fk.double(fk.double(HH))
+        J = fk.mul(H, I)
+        rr = fk.double(fk.sub(S2, Y1))
+        V = fk.mul(X1, I)
+        X3 = fk.sub(fk.sub(fk.sqr(rr), J), fk.double(V))
+        Y3 = fk.sub(fk.mul(rr, fk.sub(V, X3)),
+                    fk.double(fk.mul(Y1, J)))
+        Z3 = fk.sub(fk.sub(fk.sqr(fk.add(Z1, H)), Z1Z1), HH)
+        out = (X3, Y3, Z3)
+
+        p_inf = self.is_zero(P)
+        same_x = fk.is_zero(H)
+        same_y = fk.is_zero(rr)
+        is_double = jnp.logical_and(jnp.logical_and(same_x, same_y),
+                                    jnp.logical_not(p_inf))
+        out = self.select(is_double, self.dbl(P), out)
+        # P = inf -> lift Q to Jacobian
+        q_jac = (X2, Y2, fk.one(self._batch_shape(X2)))
+        out = self.select(p_inf, q_jac, out)
+        if q_inf is not None:
+            out = self.select(q_inf, P, out)
+        return out
+
+    def _batch_shape(self, arr):
+        lead = 1 if not hasattr(self.fk, "fp") else 2
+        return arr.shape[lead:]
+
+    # -- conversions -------------------------------------------------------------
+    def to_affine(self, P):
+        """Batch-normalize to affine; returns (x, y, is_inf_mask)."""
+        fk = self.fk
+        X, Y, Z = P
+        inf = fk.is_zero(Z)
+        # avoid 0-inverse: substitute 1 where infinite
+        zsafe = fk.select(inf, fk.one(self._batch_shape(Z)), Z)
+        zi = fk.inv(zsafe)
+        zi2 = fk.sqr(zi)
+        zi3 = fk.mul(zi2, zi)
+        return (fk.mul(X, zi2), fk.mul(Y, zi3), inf)
+
+    def scalar_mul_const(self, P, k: int):
+        """P * k for python-int constant k (test/reference use)."""
+        if k == 0:
+            return self.zero(self._batch_shape(P[0]))
+        bits = [(k >> i) & 1 for i in range(k.bit_length() - 1, -1, -1)]
+        acc = P
+        for b in bits[1:]:
+            acc = self.dbl(acc)
+            if b:
+                acc = self.add(acc, P)
+        return acc
+
+    # -- host conversions -----------------------------------------------------------
+    def encode_points(self, pts, jacobian=True):
+        """Host ECPoints -> device arrays.
+
+        Returns Jacobian (X, Y, Z) with Z=0 for infinity, or affine
+        (x, y, inf_mask) when jacobian=False.
+        """
+        fk = self.fk
+        F = pts[0].group.F if pts else None
+        xs, ys, infs = [], [], []
+        for p in pts:
+            if p.is_zero():
+                xs.append(F.one() if hasattr(F, "one") else 1)
+                ys.append(F.one() if hasattr(F, "one") else 1)
+                infs.append(True)
+            else:
+                xs.append(p.x)
+                ys.append(p.y)
+                infs.append(False)
+        if hasattr(fk, "fp"):  # Fp2
+            X = jnp.asarray(fk.encode(xs))
+            Y = jnp.asarray(fk.encode(ys))
+        else:
+            X = jnp.asarray(fk.encode([int(x) for x in xs]))
+            Y = jnp.asarray(fk.encode([int(y) for y in ys]))
+        infm = jnp.asarray(np.array(infs))
+        if not jacobian:
+            return (X, Y, infm)
+        one = fk.one((len(pts),))
+        Z = fk.select(infm, fk.zeros((len(pts),)), one)
+        return (X, Y, Z)
+
+    def decode_points(self, P, group):
+        """Device Jacobian points -> list of host ECPoints in ``group``."""
+        x, y, inf = self.to_affine(P)
+        inf = np.asarray(inf).reshape(-1)
+        if hasattr(self.fk, "fp"):  # Fp2
+            c0x, c1x = self.fk.decode(x)
+            c0y, c1y = self.fk.decode(y)
+            c0x, c1x = np.ravel(c0x), np.ravel(c1x)
+            c0y, c1y = np.ravel(c0y), np.ravel(c1y)
+            F = group.F
+            pts = []
+            for j in range(len(inf)):
+                if inf[j]:
+                    pts.append(group.zero())
+                else:
+                    pts.append(group.point(F(int(c0x[j]), int(c1x[j])),
+                                           F(int(c0y[j]), int(c1y[j]))))
+            return pts
+        xs = np.ravel(self.fk.decode(x))
+        ys = np.ravel(self.fk.decode(y))
+        return [group.zero() if inf[j] else group.point(int(xs[j]), int(ys[j]))
+                for j in range(len(inf))]

@@ -1,0 +1,116 @@
+"""Batched quadratic-extension field kernels (libff Fp2_model equivalent).
+
+Elements have shape (2, num_limbs, *batch): coefficient axis leading, then
+limb axis, then batch (on TPU lanes). Used for G2 arithmetic on BN/BLS
+curves. Karatsuba multiplication: 3 base-field muls.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .fp import FpKernel
+
+
+class Fp2Kernel:
+    """Fp[s]/(s^2 - beta) with small signed integer beta (e.g. -1, -5)."""
+
+    def __init__(self, fp: FpKernel, non_residue: int):
+        self.fp = fp
+        # normalize beta into a small signed form when possible
+        b = non_residue % fp.p
+        self.beta_is_neg = b > fp.p // 2
+        self.beta_small = fp.p - b if self.beta_is_neg else b
+        self.N = fp.N
+
+    def __hash__(self):
+        return hash((self.fp.p, self.beta_small, self.beta_is_neg))
+
+    def __eq__(self, o):
+        return (isinstance(o, Fp2Kernel) and o.fp == self.fp
+                and o.beta_small == self.beta_small
+                and o.beta_is_neg == self.beta_is_neg)
+
+    # -- structure ---------------------------------------------------------
+    def zeros(self, batch_shape):
+        return jnp.zeros((2, self.N) + tuple(batch_shape), dtype=jnp.uint32)
+
+    def one(self, batch_shape):
+        return jnp.stack([self.fp.one(batch_shape),
+                          self.fp.zeros(batch_shape)])
+
+    def mul_by_nonresidue(self, a):
+        """a * beta in the base field ((N, *batch) shapes)."""
+        if self.beta_small == 1:
+            out = a
+        else:
+            out = self.fp.mul_small(a, self.beta_small)
+        return self.fp.neg(out) if self.beta_is_neg else out
+
+    # -- arithmetic -----------------------------------------------------------
+    def add(self, a, b):
+        return jnp.stack([self.fp.add(a[0], b[0]), self.fp.add(a[1], b[1])])
+
+    def sub(self, a, b):
+        return jnp.stack([self.fp.sub(a[0], b[0]), self.fp.sub(a[1], b[1])])
+
+    def neg(self, a):
+        return jnp.stack([self.fp.neg(a[0]), self.fp.neg(a[1])])
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mul(self, a, b):
+        fp = self.fp
+        v0 = fp.mul(a[0], b[0])
+        v1 = fp.mul(a[1], b[1])
+        c0 = fp.add(v0, self.mul_by_nonresidue(v1))
+        t = fp.mul(fp.add(a[0], a[1]), fp.add(b[0], b[1]))
+        c1 = fp.sub(fp.sub(t, v0), v1)
+        return jnp.stack([c0, c1])
+
+    def sqr(self, a):
+        # complex squaring: c0 = (a0+a1)(a0+beta a1) - v - beta v ; c1 = 2v
+        fp = self.fp
+        v = fp.mul(a[0], a[1])
+        t0 = fp.add(a[0], a[1])
+        t1 = fp.add(a[0], self.mul_by_nonresidue(a[1]))
+        c0 = fp.sub(fp.sub(fp.mul(t0, t1), v), self.mul_by_nonresidue(v))
+        c1 = fp.add(v, v)
+        return jnp.stack([c0, c1])
+
+    def mul_small(self, a, k: int):
+        return jnp.stack([self.fp.mul_small(a[0], k),
+                          self.fp.mul_small(a[1], k)])
+
+    def inv(self, a):
+        # (a0 - a1 s) / (a0^2 - beta a1^2)
+        fp = self.fp
+        norm = fp.sub(fp.sqr(a[0]), self.mul_by_nonresidue(fp.sqr(a[1])))
+        t = fp.inv(norm)
+        return jnp.stack([fp.mul(a[0], t), fp.neg(fp.mul(a[1], t))])
+
+    def conjugate(self, a):
+        return jnp.stack([a[0], self.fp.neg(a[1])])
+
+    # -- predicates / select -------------------------------------------------------
+    def is_zero(self, a):
+        return jnp.logical_and(self.fp.is_zero(a[0]), self.fp.is_zero(a[1]))
+
+    def eq(self, a, b):
+        return jnp.logical_and(self.fp.eq(a[0], b[0]), self.fp.eq(a[1], b[1]))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[None, None], a, b)
+
+    # -- host conversions -------------------------------------------------------------
+    def encode(self, xs, mont=True):
+        """List of host Fp2 elements (with .c0/.c1) -> (2, N, len) numpy."""
+        import numpy as np
+        c0 = self.fp.encode([int(x.c0) for x in xs], mont)
+        c1 = self.fp.encode([int(x.c1) for x in xs], mont)
+        return np.stack([c0, c1])
+
+    def decode(self, arr, mont=True):
+        c0 = self.fp.decode(arr[0], mont)
+        c1 = self.fp.decode(arr[1], mont)
+        return c0, c1

@@ -1,0 +1,282 @@
+"""Multi-scalar multiplication kernels (libff multi_exp equivalent).
+
+Variable-base MSM: signed-digit Pippenger re-designed for SIMD/TPU --
+instead of the reference's branch-per-scalar bucket loop
+(kc_multiexp.tcc:63-89, multi_exp BDLO12_signed), each window
+
+  1. extracts signed c-bit digits from packed-limb scalars (vectorized),
+  2. sorts point indices by |digit| (XLA sort),
+  3. rakes buckets in rounds: round r gathers the r-th point of every
+     bucket and performs ONE (B+1)-lane masked mixed-add -- total group
+     work ~= m adds per window with B-way parallelism and a tiny graph,
+  4. aggregates sum_b b*S_b with two Hillis-Steele point-scans
+     (fori_loop + dynamic-slice shifts: log-depth, constant graph size),
+  5. combines windows with a Horner scan (c doublings + 1 add per step).
+
+Fixed-base batch exp (libff batch_exp / get_window_table parity, use site
+r1cs_gg_ppzksnark.tcc:316-398): device-built window tables via point
+prefix-scan, then gather+add per window.
+
+All group ops are the branchless Jacobian kernels from ops/ec.py; scalars
+are plain (non-Montgomery) 16-bit-limb arrays.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, LIMB_MASK
+
+
+def default_window_bits(m: int) -> int:
+    """Window size heuristic balancing rake work (bits/c * m) vs
+    aggregation work (bits/c * 2^c * c)."""
+    return max(4, min(13, int(math.log2(max(m, 2))) - 7))
+
+
+def _tree_map(f, *pts):
+    return tuple(f(*xs) for xs in zip(*pts))
+
+
+class MSMKernel:
+    """MSM over one curve group.
+
+    Parameters
+    ----------
+    ck : CurveKernel (G1 or G2)
+    scalar_bits : bit length of the scalar field modulus r
+    """
+
+    def __init__(self, ck, scalar_bits: int):
+        self.ck = ck
+        self.fk = ck.fk
+        self.scalar_bits = scalar_bits
+
+    def __hash__(self):
+        return hash((self.ck, self.scalar_bits))
+
+    def __eq__(self, o):
+        return (isinstance(o, MSMKernel) and o.ck == self.ck
+                and o.scalar_bits == self.scalar_bits)
+
+    # ------------------------------------------------------------------ digits
+    def signed_digits(self, scalars, c: int):
+        """(NL, m) scalar limbs -> (W, m) |digit| int32 and (W, m) sign bool.
+
+        Signed c-bit windows: digit in [-(2^(c-1)-1), 2^(c-1)], so buckets
+        1..2^(c-1). LSB window first.
+        """
+        nl, = scalars.shape[:1]
+        m = scalars.shape[1]
+        W = -(-self.scalar_bits // c) + 1
+        half = 1 << (c - 1)
+        full = 1 << c
+        mask = full - 1
+        abss, signs = [], []
+        carry = jnp.zeros((m,), dtype=jnp.uint32)
+        for w in range(W):
+            o = c * w
+            li, sh = o // LIMB_BITS, o % LIMB_BITS
+            if li < nl:
+                raw = scalars[li] >> sh
+                if sh + c > LIMB_BITS and li + 1 < nl:
+                    raw = raw | (scalars[li + 1] << (LIMB_BITS - sh))
+            else:
+                raw = jnp.zeros((m,), dtype=jnp.uint32)
+            raw = (raw & mask) + carry
+            neg = raw > half
+            abss.append(jnp.where(neg, full - raw, raw).astype(jnp.int32))
+            signs.append(neg)
+            carry = neg.astype(jnp.uint32)
+        return jnp.stack(abss), jnp.stack(signs)
+
+    # ------------------------------------------------------- point scan helpers
+    def _shifted(self, pts, width, shift):
+        """Shift a width-lane point array left by `shift` (traced), filling
+        with infinity, via pad + dynamic slice on the last axis."""
+        ck = self.ck
+
+        def sh(a):
+            pad = jnp.zeros(a.shape[:-1] + (width,), dtype=a.dtype)
+            ext = jnp.concatenate([a, pad], axis=-1)
+            return jax.lax.dynamic_slice_in_dim(ext, shift, width, axis=-1)
+
+        X, Y, Z = pts
+        # after slicing, lanes pulled from the pad region have Z=0 => infinity
+        return (sh(X), sh(Y), sh(Z))
+
+    def _suffix_scan_add(self, pts, width):
+        """T_j = sum_{b >= j} P_b via Hillis-Steele: log2(width) rounds of
+        point add with doubling shifts. Graph: ONE point add."""
+        ck = self.ck
+        steps = max(1, (width - 1).bit_length())
+
+        def body(k, T):
+            return ck.add(T, self._shifted(T, width, jnp.int32(1) << k))
+
+        return jax.lax.fori_loop(0, steps, body, pts)
+
+    # ------------------------------------------------------------- core MSM
+    def msm(self, points_aff, scalars, c: int = None):
+        """sum_i scalars[i] * P_i.
+
+        points_aff: (x, y, inf_mask) affine arrays, batch m on last axis.
+        scalars: (NL, m) uint32 plain-integer limbs.
+        Returns a Jacobian point with batch shape (1,).
+        """
+        ck, fk = self.ck, self.fk
+        m = scalars.shape[-1]
+        c = c or default_window_bits(m)
+        B = 1 << (c - 1)
+        x, y, inf = points_aff
+        digits, signs = self.signed_digits(scalars, c)   # (W, m)
+        W = digits.shape[0]
+
+        def per_window(carry, win):
+            dig, sgn = win
+            # effective points: negate where digit is negative
+            y_eff = fk.select(sgn, fk.neg(y), y)
+            # sort by bucket id
+            order = jnp.argsort(dig)
+            dig_s = dig[order]
+            xs = jnp.take(x, order, axis=-1)
+            ys = jnp.take(y_eff, order, axis=-1)
+            infs = inf[order]
+            counts = jax.ops.segment_sum(
+                jnp.ones((m,), jnp.int32), dig_s, num_segments=B + 1)
+            starts = jnp.cumsum(counts) - counts
+            counts = counts.at[0].set(0)  # never rake bucket 0
+            max_rounds = jnp.max(counts)
+
+            acc0 = ck.zero((B + 1,))
+
+            def rake_cond(state):
+                r, _ = state
+                return r < max_rounds
+
+            def rake_body(state):
+                r, acc = state
+                pos = jnp.clip(starts + r, 0, m - 1)
+                valid = r < counts
+                qx = jnp.take(xs, pos, axis=-1)
+                qy = jnp.take(ys, pos, axis=-1)
+                qinf = jnp.logical_or(infs[pos], jnp.logical_not(valid))
+                new = ck.madd(acc, (qx, qy, qinf))
+                acc = ck.select(valid, new, acc)
+                return (r + 1, acc)
+
+            _, buckets = jax.lax.while_loop(
+                rake_cond, rake_body, (jnp.int32(0), acc0))
+
+            # weighted aggregation: sum_j j * S_j
+            T = self._suffix_scan_add(buckets, B + 1)      # suffix sums
+            R = self._suffix_scan_add(T, B + 1)            # sum of suffixes
+            total = _tree_map(lambda a: a[..., 0:1], R)    # sum_{j>=0} T_j
+            t0 = _tree_map(lambda a: a[..., 0:1], T)       # T_0 (weight fix)
+            S_w = ck.add(total, ck.neg(t0))
+            return carry, S_w
+
+        _, S = jax.lax.scan(per_window, None, (digits, signs))  # (W, ...) points
+
+        # Horner window combine, MSB window first
+        S_rev = _tree_map(lambda a: jnp.flip(a, axis=0), S)
+
+        def comb(acc, s_w):
+            def dble(_, a):
+                return ck.dbl(a)
+            acc = jax.lax.fori_loop(0, c, dble, acc)
+            return ck.add(acc, s_w), None
+
+        out, _ = jax.lax.scan(comb, ck.zero((1,)), S_rev)
+        return out
+
+    # ------------------------------------------------------------ fixed base
+    def window_table(self, base_aff, c: int, num_windows: int):
+        """Device-built fixed-base table: T[w, j] = j * 2^(c w) * base.
+
+        base_aff: (x, y) single affine point with batch shape (1,).
+        Returns Jacobian table with batch shape (num_windows, 2^c).
+        """
+        ck = self.ck
+        # G_w = 2^(c w) * base: sequential c*num_windows doublings via scan
+        base_j = (base_aff[0], base_aff[1], ck.fk.one((1,)))
+
+        def dbl_win(g, _):
+            def dble(_, a):
+                return ck.dbl(a)
+            return jax.lax.fori_loop(0, c, dble, g), g
+
+        _, gs = jax.lax.scan(dbl_win, base_j, None, length=num_windows)
+        # scan stacks windows on axis 0; move behind the field lead axes so
+        # kernels still see limbs first: (.., N, num_windows, 1)
+        gs = _tree_map(lambda a: jnp.moveaxis(a, 0, -2), gs)
+        L = 1 << c
+        rep = _tree_map(
+            lambda a: jnp.repeat(a, L, axis=-1), gs)  # (.., N, W, L)
+        # lane j should hold j * G_w: prefix-sum scan of [inf, G, G, ...]
+        lane = jnp.arange(L)
+        X, Y, Z = rep
+        Z = jnp.where((lane == 0), jnp.zeros_like(Z), Z)  # lane 0 = infinity
+
+        def body(k, T):
+            # T_j += T_{j - 2^k} (prefix): shift RIGHT by 2^k with inf fill
+            def sh(a):
+                pad = jnp.zeros(a.shape[:-1] + (L,), dtype=a.dtype)
+                ext = jnp.concatenate([pad, a], axis=-1)
+                return jax.lax.dynamic_slice_in_dim(
+                    ext, L - (jnp.int32(1) << k), L, axis=-1)
+            shifted = (sh(T[0]), sh(T[1]), sh(T[2]))
+            return ck.add(T, shifted)
+
+        table = jax.lax.fori_loop(0, max(1, (L - 1).bit_length()), body,
+                                  (X, Y, Z))
+        return table
+
+    def batch_exp(self, table_aff, scalars, c: int):
+        """Fixed-base exponentiation: out[i] = scalars[i] * base.
+
+        table_aff: affine table (x, y, inf) with batch (num_windows, 2^c)
+        from ``window_table`` + ``to_affine``.
+        scalars: (NL, m) plain limbs. Returns Jacobian batch (m,).
+        """
+        ck = self.ck
+        m = scalars.shape[-1]
+        tx, ty, tinf = table_aff
+        W = tx.shape[-2]
+        # unsigned digit extraction
+        digs = []
+        for w in range(W):
+            o = c * w
+            li, sh = o // LIMB_BITS, o % LIMB_BITS
+            if li < scalars.shape[0]:
+                raw = scalars[li] >> sh
+                if sh + c > LIMB_BITS and li + 1 < scalars.shape[0]:
+                    raw = raw | (scalars[li + 1] << (LIMB_BITS - sh))
+                raw = raw & ((1 << c) - 1)
+            else:
+                raw = jnp.zeros((m,), jnp.uint32)
+            digs.append(raw.astype(jnp.int32))
+        digits = jnp.stack(digs)  # (W, m)
+
+        def body(acc, wd):
+            w, dig = wd
+            qx = jnp.take(tx[..., w, :], dig, axis=-1)
+            qy = jnp.take(ty[..., w, :], dig, axis=-1)
+            qi = jnp.take(tinf[w], dig, axis=-1)
+            return ck.madd(acc, (qx, qy, qi)), None
+
+        acc0 = ck.zero((m,))
+        out, _ = jax.lax.scan(body, acc0, (jnp.arange(W), digits))
+        return out
+
+
+def msm_host_scalars(msm_kernel, points_aff, scalar_ints, r, c=None):
+    """Convenience: python-int scalars -> device MSM."""
+    from .limbs import ints_to_limbs
+    nl = -(-r.bit_length() // LIMB_BITS)
+    sc = jnp.asarray(ints_to_limbs([s % r for s in scalar_ints], nl))
+    return msm_kernel.msm(points_aff, sc, c)

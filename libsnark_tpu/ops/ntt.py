@@ -1,0 +1,219 @@
+"""Radix-2 evaluation domains: NTT / iNTT / coset transforms over Fr.
+
+The libfqfft equivalent (SURVEY.md section 2.8): exactly the 8-method
+surface the QAP witness map consumes (r1cs_to_qap.tcc:252-321): FFT, iFFT,
+cosetFFT, icosetFFT, evaluate_all_lagrange_polynomials,
+compute_vanishing_polynomial, add_poly_Z, divide_by_Z_on_coset.
+
+Design: iterative Cooley-Tukey with a host-precomputed bit-reversal
+permutation and per-stage twiddle tables (Montgomery form, device
+constants). Each stage is one batched field mul + add/sub over the whole
+array -- MXU-free but VPU-saturating; the fori/stage loop is a Python loop
+over log2(m) <= 28 stages (small graph). Values are (N, m) uint32 limb
+arrays in Montgomery form.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import ints_to_limbs
+
+
+def batch_inverse(xs, p):
+    """Montgomery batch inversion: one modular inverse for the whole list."""
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % p
+    inv_all = pow(prefix[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % p
+        inv_all = inv_all * xs[i] % p
+    return out
+
+
+def _bit_reverse_perm(logn: int) -> np.ndarray:
+    n = 1 << logn
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+class Radix2Domain:
+    """Evaluation domain of size m = 2^logm over the scalar field.
+
+    Mirrors libfqfft basic_radix2_domain. Twiddles are precomputed host-side
+    from FieldParams.root_of_unity and installed as device constants.
+    """
+
+    def __init__(self, fr_kernel, params, logm: int):
+        assert logm <= params.two_adicity, \
+            f"domain 2^{logm} exceeds field two-adicity {params.two_adicity}"
+        self.fk = fr_kernel
+        self.params = params
+        self.logm = logm
+        self.m = 1 << logm
+        p = params.p
+        self.p = p
+        # primitive m-th root of unity
+        self.omega = pow(params.root_of_unity,
+                         1 << (params.two_adicity - logm), p)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.m_inv = pow(self.m, -1, p)
+        self.generator = params.multiplicative_generator
+        self.generator_inv = pow(self.generator, -1, p)
+        self._perm = _bit_reverse_perm(logm)
+        self._tw = self._twiddles(self.omega)
+        self._tw_inv = self._twiddles(self.omega_inv)
+
+    def _twiddles(self, w):
+        """Per-stage twiddle tables in Montgomery form.
+
+        Stage s (1-based) has half = 2^(s-1) butterflies per block using
+        w_s^j, w_s = w^(m / 2^s), j < half.
+        """
+        tables = []
+        for s in range(1, self.logm + 1):
+            half = 1 << (s - 1)
+            ws = pow(w, self.m >> s, self.p)
+            tw = [pow(ws, j, self.p) for j in range(half)]
+            tables.append(np.asarray(
+                ints_to_limbs([t * self.params.R % self.p for t in tw],
+                              self.fk.N)))
+        return tables
+
+    # ------------------------------------------------------------------ core
+    def _fft_core(self, a, tables):
+        """In-order input -> in-order output iterative CT NTT.
+
+        a: (N, m) Montgomery limbs.
+        """
+        fk = self.fk
+        m, logm = self.m, self.logm
+        a = a[..., jnp.asarray(self._perm)]
+        for s in range(1, logm + 1):
+            half = 1 << (s - 1)
+            blocks = m >> s
+            # view as (.., blocks, 2, half)
+            shp = a.shape[:-1]
+            v = a.reshape(shp + (blocks, 2, half))
+            u = v[..., 0, :]
+            w = v[..., 1, :]
+            tw = jnp.asarray(tables[s - 1]).reshape(
+                (fk.N,) + (1,) * (len(shp) - 1 + 1) + (half,))
+            wt = fk.mul(w.reshape(shp + (blocks * half,)),
+                        jnp.broadcast_to(tw, shp + (blocks, half)).reshape(
+                            shp + (blocks * half,)))
+            wt = wt.reshape(shp + (blocks, half))
+            out0 = fk.add(u.reshape(shp + (blocks * half,)),
+                          wt.reshape(shp + (blocks * half,)))
+            out1 = fk.sub(u.reshape(shp + (blocks * half,)),
+                          wt.reshape(shp + (blocks * half,)))
+            a = jnp.stack([out0.reshape(shp + (blocks, half)),
+                           out1.reshape(shp + (blocks, half))],
+                          axis=-2).reshape(shp + (m,))
+        return a
+
+    def fft(self, a):
+        """Evaluate: coefficients -> values on the domain (natural order)."""
+        return self._fft_core(a, self._tw)
+
+    def ifft(self, a):
+        """Interpolate: values -> coefficients, scaled by 1/m."""
+        out = self._fft_core(a, self._tw_inv)
+        return self.fk.mul_small(out, self.m_inv)
+
+    # ------------------------------------------------------------- coset forms
+    def _mul_by_powers(self, a, g: int):
+        """a[i] *= g^i (host int g), via device constant table."""
+        fk = self.fk
+        pw = [1] * self.m
+        for i in range(1, self.m):
+            pw[i] = pw[i - 1] * g % self.p
+        tbl = jnp.asarray(ints_to_limbs([v * self.params.R % self.p
+                                         for v in pw], fk.N))
+        tbl = tbl.reshape((fk.N,) + (1,) * (a.ndim - 2) + (self.m,))
+        return fk.mul(a, jnp.broadcast_to(tbl, a.shape))
+
+    def coset_fft(self, a, g: int = None):
+        g = self.generator if g is None else g
+        return self.fft(self._mul_by_powers(a, g))
+
+    def icoset_fft(self, a, g: int = None):
+        g = self.generator if g is None else g
+        ginv = pow(g, -1, self.p)
+        return self._mul_by_powers(self.ifft(a), ginv)
+
+    # --------------------------------------------------------- vanishing poly
+    def vanishing_eval(self, t: int) -> int:
+        """Z(t) = t^m - 1 (host int)."""
+        return (pow(t, self.m, self.p) - 1) % self.p
+
+    def divide_by_z_on_coset(self, a, g: int = None):
+        """a[i] /= Z(g * w^i); on the coset Z is the constant g^m - 1
+        (libfqfft basic_radix2_domain::divide_by_Z_on_coset parity)."""
+        g = self.generator if g is None else g
+        zi = pow(self.vanishing_eval(g), -1, self.p)
+        return self.fk.mul_small(a, zi)
+
+    def add_poly_z(self, coeff: int, H):
+        """H += coeff * Z(x) = coeff*(x^m - 1); H has m+1.. coefficients.
+
+        Host-side helper for small fixups; returns updated device array.
+        H: (N, >= m+1)."""
+        fk = self.fk
+        c = fk.encode_scalar(coeff)
+        c = jnp.asarray(c)
+        cm = jnp.asarray(fk.encode_scalar(self.p - coeff))
+        H = H.at[..., self.m].set(
+            fk.add(H[..., self.m], c))
+        H = H.at[..., 0].set(fk.add(H[..., 0], cm))
+        return H
+
+    # ----------------------------------------------------- lagrange (host side)
+    def lagrange_coeffs_at(self, t: int) -> list:
+        """L_i(t) for all i, host ints (libfqfft
+        evaluate_all_lagrange_polynomials). Used by the generator at the
+        secret point; O(m) host work."""
+        p, m = self.p, self.m
+        t %= p
+        zt = self.vanishing_eval(t)
+        if zt == 0:
+            # t is in the domain: indicator vector
+            out = [0] * m
+            x = 1
+            for i in range(m):
+                if x == t:
+                    out[i] = 1
+                x = x * self.omega % p
+            return out
+        # L_i(t) = Z(t) * w^i / (m * (t - w^i)); batch-invert the (t - w^i)
+        minv = self.m_inv
+        xs, diffs = [], []
+        x = 1
+        for i in range(m):
+            xs.append(x)
+            diffs.append((t - x) % p)
+            x = x * self.omega % p
+        invs = batch_inverse(diffs, p)
+        zt_minv = zt * minv % p
+        return [zt_minv * xs[i] % p * invs[i] % p for i in range(m)]
+
+    def domain_elements(self) -> list:
+        out = [1] * self.m
+        for i in range(1, self.m):
+            out[i] = out[i - 1] * self.omega % self.p
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def get_domain_size(n: int) -> int:
+    """Smallest power-of-two >= n (force_pow_2_domain semantics)."""
+    return 1 << max(1, (n - 1)).bit_length() if n > 1 else 1

@@ -1,0 +1,269 @@
+"""Groth16 (r1cs_gg_ppzksnark): generator / prover / verifier.
+
+Behavioral parity with the reference's primary proof system
+(zk_proof_systems/ppzksnark/r1cs_gg_ppzksnark/r1cs_gg_ppzksnark.tcc:
+generator :226/:430, prover :464, verifiers :605-745), re-architected for
+TPU:
+
+* generator: secrets + QAP evaluation host-side (one-time), all query
+  exponentiations as device fixed-base batch-exp over window tables built
+  on-device (replaces libff get_window_table/batch_exp,
+  tcc:316-398);
+* prover: QAP witness map = batched NTT pipeline; A/B/H/L multi-exps =
+  Pippenger MSM kernels (replaces multi_exp_with_mixed_addition BDLO12
+  signed, tcc:521-594). The four MSMs are independent given the witness
+  map output and can be dispatched together (XLA overlaps them);
+* verifier: a handful of host pairings (tcc:625-684).
+
+Both a seeded (deterministic, for parity tests; mirrors
+generator_from_secrets tcc:226 + MPC entry points hpp:383-395) and a
+secure-random path are provided.
+"""
+from __future__ import annotations
+
+import dataclasses
+import secrets
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fp import FpKernel
+from ..ops.fp2 import Fp2Kernel
+from ..ops.ec import CurveKernel
+from ..ops.msm import MSMKernel, default_window_bits
+from ..ops.limbs import ints_to_limbs
+from ..reductions.r1cs_to_qap import (
+    qap_domain, qap_instance_map_with_evaluation, qap_witness_map)
+
+
+# --------------------------------------------------------------------- types
+
+@dataclasses.dataclass
+class Groth16ProvingKey:
+    alpha_g1: object
+    beta_g1: object
+    beta_g2: object
+    delta_g1: object
+    delta_g2: object
+    A_query: tuple          # device affine (x, y, inf) G1, len nv+1
+    B_query_g2: tuple       # device affine G2, len nv+1
+    B_query_g1: tuple       # device affine G1, len nv+1
+    H_query: tuple          # device affine G1, len m-1
+    L_query: tuple          # device affine G1, len nv - num_inputs
+    r1cs_dev: object
+    cs: object
+
+    def size_summary(self):
+        nv = self.r1cs_dev.num_variables
+        return dict(A=nv + 1, B=nv + 1, H=self.H_query[0].shape[-1],
+                    L=self.L_query[0].shape[-1])
+
+
+@dataclasses.dataclass
+class Groth16VerificationKey:
+    alpha_g1: object
+    beta_g2: object
+    gamma_g2: object
+    delta_g2: object
+    gamma_ABC: list          # host G1 points, len num_inputs + 1
+
+
+@dataclasses.dataclass
+class Groth16Keypair:
+    pk: Groth16ProvingKey
+    vk: Groth16VerificationKey
+
+
+@dataclasses.dataclass
+class Groth16Proof:
+    g_A: object   # host G1
+    g_B: object   # host G2
+    g_C: object   # host G1
+
+    def __eq__(self, o):
+        return (self.g_A, self.g_B, self.g_C) == (o.g_A, o.g_B, o.g_C)
+
+
+# ------------------------------------------------------------------- system
+
+class Groth16:
+    """Groth16 over a named curve; holds the device kernel bundle."""
+
+    def __init__(self, curve):
+        self.curve = curve
+        self.fr = FpKernel(curve.fr_params)
+        self.fq = FpKernel(curve.fq_params)
+        self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
+        self.g1 = CurveKernel(self.fq, f"{curve.name}.G1")
+        self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
+        sbits = curve.r.bit_length()
+        self.msm_g1 = MSMKernel(self.g1, sbits)
+        self.msm_g2 = MSMKernel(self.g2, sbits)
+        self.scalar_limbs = -(-sbits // 16)
+
+    # -- helpers ---------------------------------------------------------------
+    def _scalars_to_dev(self, xs):
+        return jnp.asarray(ints_to_limbs([x % self.curve.r for x in xs],
+                                         self.scalar_limbs))
+
+    def _fixed_base_g1(self, base_host, scalars, c=8):
+        """[s * base for s in scalars] as device affine G1 arrays."""
+        return self._fixed_base(self.g1, self.msm_g1, base_host, scalars, c)
+
+    def _fixed_base_g2(self, base_host, scalars, c=8):
+        return self._fixed_base(self.g2, self.msm_g2, base_host, scalars, c)
+
+    def _fixed_base(self, ck, mk, base_host, scalars, c):
+        W = -(-self.curve.r.bit_length() // c)
+        baff = ck.encode_points([base_host], jacobian=False)
+
+        @jax.jit
+        def build(bx, by, sc):
+            table = mk.window_table((bx, by), c, W)
+            taff = ck.to_affine(table)
+            return ck.to_affine(mk.batch_exp(taff, sc, c))
+
+        sc = self._scalars_to_dev(scalars)
+        return build(baff[0], baff[1], sc)
+
+    # -- generator ----------------------------------------------------------------
+    def generator(self, cs, seed: Optional[int] = None):
+        """Trusted setup. seed=None -> secure randomness; otherwise
+        deterministic (generator_from_secrets-style parity path)."""
+        r = self.curve.r
+        if seed is None:
+            rand = lambda: secrets.randbelow(r - 1) + 1
+        else:
+            import random as _random
+            rng = _random.Random(seed)
+            rand = lambda: rng.randrange(1, r)
+        t, alpha, beta, gamma, delta = (rand() for _ in range(5))
+        return self.generator_from_secrets(cs, t, alpha, beta, gamma, delta)
+
+    def generator_from_secrets(self, cs, t, alpha, beta, gamma, delta):
+        curve, r = self.curve, self.curve.r
+        cs.swap_AB_if_beneficial()
+        domain = qap_domain(self.fr, curve.fr_params, cs)
+        qap = qap_instance_map_with_evaluation(cs, domain, t)
+        m, nv, k = qap.degree, qap.num_variables, qap.num_inputs
+
+        gamma_inv = pow(gamma, -1, r)
+        delta_inv = pow(delta, -1, r)
+        # beta*A_i + alpha*B_i + C_i
+        ABC = [(beta * qap.At[i] + alpha * qap.Bt[i] + qap.Ct[i]) % r
+               for i in range(nv + 1)]
+        gamma_ABC_s = [v * gamma_inv % r for v in ABC[: k + 1]]
+        L_s = [v * delta_inv % r for v in ABC[k + 1:]]
+        H_s = [qap.Ht[i] * qap.Zt % r * delta_inv % r for i in range(m - 1)]
+
+        G1, G2 = curve.G1.one(), curve.G2.one()
+        A_query = self._fixed_base_g1(G1, qap.At)
+        B_query_g2 = self._fixed_base_g2(G2, qap.Bt)
+        B_query_g1 = self._fixed_base_g1(G1, qap.Bt)
+        H_query = self._fixed_base_g1(G1, H_s)
+        L_query = self._fixed_base_g1(G1, L_s)
+        gamma_ABC = [G1 * s for s in gamma_ABC_s]
+
+        pk = Groth16ProvingKey(
+            alpha_g1=G1 * alpha, beta_g1=G1 * beta, beta_g2=G2 * beta,
+            delta_g1=G1 * delta, delta_g2=G2 * delta,
+            A_query=A_query, B_query_g2=B_query_g2, B_query_g1=B_query_g1,
+            H_query=H_query, L_query=L_query,
+            r1cs_dev=cs.to_device(self.fr), cs=cs)
+        vk = Groth16VerificationKey(
+            alpha_g1=G1 * alpha, beta_g2=G2 * beta, gamma_g2=G2 * gamma,
+            delta_g2=G2 * delta, gamma_ABC=gamma_ABC)
+        return Groth16Keypair(pk=pk, vk=vk)
+
+    # -- prover ----------------------------------------------------------------------
+    def prover(self, pk, primary: list, auxiliary: list,
+               seed: Optional[int] = None):
+        curve, r = self.curve, self.curve.r
+        if seed is None:
+            rnd_r = secrets.randbelow(r)
+            rnd_s = secrets.randbelow(r)
+        else:
+            import random as _random
+            rng = _random.Random(seed)
+            rnd_r, rnd_s = rng.randrange(r), rng.randrange(r)
+
+        cs = pk.cs
+        dev = pk.r1cs_dev
+        domain = qap_domain(self.fr, curve.fr_params, cs)
+        full = [1] + [v % r for v in primary] + [v % r for v in auxiliary]
+        assignment_mont = jnp.asarray(self.fr.encode(full))
+
+        msm_c = default_window_bits(dev.num_variables + 1)
+
+        @jax.jit
+        def device_prove(assign_mont, A_q, B_q2, B_q1, H_q, L_q):
+            H = qap_witness_map(dev, domain, assign_mont)      # (N, m) mont
+            H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
+            assign_plain = self.fr.from_mont(assign_mont)
+            aux_plain = assign_plain[..., dev.num_inputs + 1:]
+            At = self.msm_g1.msm(A_q, assign_plain, msm_c)
+            Bt2 = self.msm_g2.msm(B_q2, assign_plain, msm_c)
+            Bt1 = self.msm_g1.msm(B_q1, assign_plain, msm_c)
+            Ht = self.msm_g1.msm(H_q, H_plain, msm_c)
+            Lt = self.msm_g1.msm(L_q, aux_plain, msm_c)
+            return (self.g1.to_affine(At), self.g2.to_affine(Bt2),
+                    self.g1.to_affine(Bt1), self.g1.to_affine(Ht),
+                    self.g1.to_affine(Lt))
+
+        At_a, Bt2_a, Bt1_a, Ht_a, Lt_a = device_prove(
+            assignment_mont, pk.A_query, pk.B_query_g2, pk.B_query_g1,
+            pk.H_query, pk.L_query)
+
+        dec1 = lambda aff: self._decode_affine(self.g1, aff, curve.G1)
+        dec2 = lambda aff: self._decode_affine(self.g2, aff, curve.G2)
+        At, Bt1, Ht, Lt = dec1(At_a), dec1(Bt1_a), dec1(Ht_a), dec1(Lt_a)
+        Bt2 = dec2(Bt2_a)
+
+        # final combination (a handful of host ops, tcc:583-592)
+        g_A = pk.alpha_g1 + At + pk.delta_g1 * rnd_r
+        g_B = pk.beta_g2 + Bt2 + pk.delta_g2 * rnd_s
+        g_B1 = pk.beta_g1 + Bt1 + pk.delta_g1 * rnd_s
+        g_C = (Ht + Lt + g_A * rnd_s + g_B1 * rnd_r
+               - pk.delta_g1 * (rnd_r * rnd_s % r))
+        return Groth16Proof(g_A=g_A, g_B=g_B, g_C=g_C)
+
+    @staticmethod
+    def _decode_affine(ck, aff, group):
+        x, y, inf = aff
+        if np.asarray(inf).reshape(-1)[0]:
+            return group.zero()
+        if hasattr(ck.fk, "fp"):
+            c0x, c1x = ck.fk.decode(x)
+            c0y, c1y = ck.fk.decode(y)
+            F = group.F
+            return group.point(
+                F(int(np.ravel(c0x)[0]), int(np.ravel(c1x)[0])),
+                F(int(np.ravel(c0y)[0]), int(np.ravel(c1y)[0])))
+        return group.point(int(np.ravel(ck.fk.decode(x))[0]),
+                           int(np.ravel(ck.fk.decode(y))[0]))
+
+    # -- verifier -------------------------------------------------------------------------
+    def verifier_strong_IC(self, vk, primary: list, proof) -> bool:
+        if len(primary) + 1 != len(vk.gamma_ABC):
+            return False
+        return self.verifier_weak_IC(vk, primary, proof)
+
+    def verifier_weak_IC(self, vk, primary: list, proof) -> bool:
+        curve, r = self.curve, self.curve.r
+        if len(primary) + 1 > len(vk.gamma_ABC):
+            return False
+        acc = vk.gamma_ABC[0]
+        for i, x in enumerate(primary):
+            acc = acc + vk.gamma_ABC[i + 1] * (x % r)
+        if not (proof.g_A.is_well_formed() and proof.g_B.is_well_formed()
+                and proof.g_C.is_well_formed()):
+            return False
+        # e(A, B) = e(alpha, beta) e(acc, gamma) e(C, delta)
+        return curve.pairing_check([
+            (proof.g_A, proof.g_B),
+            (-vk.alpha_g1, vk.beta_g2),
+            (-acc, vk.gamma_g2),
+            (-proof.g_C, vk.delta_g2),
+        ])

@@ -1,0 +1,102 @@
+"""R1CS -> QAP reduction (reference reductions/r1cs_to_qap/r1cs_to_qap.tcc).
+
+Two halves, matching how the reference splits work between setup and prove:
+
+* ``qap_instance_map_with_evaluation`` (tcc:106-175): evaluate the QAP at a
+  secret point t. Runs at setup time, host-side (python ints) -- O(nnz + m)
+  modular ops, once per circuit.
+
+* ``qap_witness_map`` (tcc:209-344): THE prover hot path. 2 sparse matvecs
+  + input-consistency rows, 3 iFFTs, 3 coset FFTs, pointwise multiply,
+  divide-by-Z, 1 icosetFFT -- all as batched device kernels over (N, m)
+  Montgomery limb arrays.
+
+Domain size = num_constraints + num_inputs + 1 (rounded up to a power of
+two), the extra rows being the per-input consistency constraints the
+reference scatters at tcc:50-76 and tcc:229-248.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax.numpy as jnp
+
+from ..ops.ntt import Radix2Domain, get_domain_size
+
+
+def qap_domain(fr_kernel, fr_params, cs):
+    m = get_domain_size(cs.num_constraints + cs.num_inputs + 1)
+    return Radix2Domain(fr_kernel, fr_params, m.bit_length() - 1)
+
+
+@dataclasses.dataclass
+class QAPInstanceEvaluation:
+    """A_i(t), B_i(t), C_i(t), t^i, Z(t) -- host ints."""
+    t: int
+    At: List[int]
+    Bt: List[int]
+    Ct: List[int]
+    Ht: List[int]     # powers t^0 .. t^(m-1)
+    Zt: int
+    degree: int
+    num_inputs: int
+    num_variables: int
+
+
+def qap_instance_map_with_evaluation(cs, domain, t: int):
+    p = cs.p
+    nv = cs.num_variables
+    u = domain.lagrange_coeffs_at(t)
+    At = [0] * (nv + 1)
+    Bt = [0] * (nv + 1)
+    Ct = [0] * (nv + 1)
+    # input consistency: A_i(t) += L_{n + i}(t) for i = 0..num_inputs
+    for i in range(cs.num_inputs + 1):
+        At[i] = u[cs.num_constraints + i]
+    for j, con in enumerate(cs.constraints):
+        uj = u[j]
+        for term in con.a.compact(p).terms:
+            At[term.index] = (At[term.index] + term.coeff * uj) % p
+        for term in con.b.compact(p).terms:
+            Bt[term.index] = (Bt[term.index] + term.coeff * uj) % p
+        for term in con.c.compact(p).terms:
+            Ct[term.index] = (Ct[term.index] + term.coeff * uj) % p
+    Ht = [1] * domain.m
+    for i in range(1, domain.m):
+        Ht[i] = Ht[i - 1] * t % p
+    return QAPInstanceEvaluation(
+        t=t, At=At, Bt=Bt, Ct=Ct, Ht=Ht, Zt=domain.vanishing_eval(t),
+        degree=domain.m, num_inputs=cs.num_inputs, num_variables=nv)
+
+
+def qap_witness_map(r1cs_dev, domain, assignment_mont):
+    """Compute coefficients of H(x) = (A(x)B(x) - C(x)) / Z(x) on device.
+
+    r1cs_dev: R1CSDevice; assignment_mont: (N, num_vars+1) Montgomery limbs
+    with the constant 1 at index 0. Returns (N, m) Montgomery coefficients
+    (degree <= m-2: the last column is zero).
+    """
+    fk = domain.fk
+    m = domain.m
+    n = r1cs_dev.num_constraints
+    k = r1cs_dev.num_inputs
+
+    aA = r1cs_dev.A.evaluate(fk, assignment_mont, m)
+    aB = r1cs_dev.B.evaluate(fk, assignment_mont, m)
+    # input consistency rows: aA[n + i] = s_i for i = 0..k
+    aA = jnp.concatenate(
+        [aA[..., :n], assignment_mont[..., :k + 1], aA[..., n + k + 1:]],
+        axis=-1)
+
+    cA = domain.ifft(aA)
+    cB = domain.ifft(aB)
+    eA = domain.coset_fft(cA)
+    eB = domain.coset_fft(cB)
+    H = fk.mul(eA, eB)
+
+    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m)
+    eC = domain.coset_fft(domain.ifft(aC))
+    H = fk.sub(H, eC)
+    H = domain.divide_by_z_on_coset(H)
+    return domain.icoset_fft(H)
