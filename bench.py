@@ -1,0 +1,96 @@
+"""Headline benchmark: variable-base G1 MSM throughput per chip.
+
+Measures the Pippenger MSM kernel (the Groth16 prover's dominant cost;
+reference multi_exp BDLO12_signed, r1cs_gg_ppzksnark.tcc:521-594) on the
+available accelerator and prints ONE JSON line.
+
+The reference publishes no absolute numbers (BASELINE.md); vs_baseline is
+reported against the project target of 1e6 MSM points/s/chip (a
+single-socket CPU-class libsnark throughput for 254-bit scalars).
+
+Env overrides: BENCH_LOG2_POINTS (default 16), BENCH_ITERS (default 3),
+BENCH_WINDOW_BITS (default by size).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "")  # use the real chip if present
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+TARGET_POINTS_PER_S = 1.0e6
+
+
+def main():
+    log2m = int(os.environ.get("BENCH_LOG2_POINTS", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    m = 1 << log2m
+
+    from libsnark_tpu import get_curve
+    from libsnark_tpu.ops.fp import FpKernel
+    from libsnark_tpu.ops.ec import CurveKernel
+    from libsnark_tpu.ops.msm import MSMKernel, default_window_bits
+    from libsnark_tpu.ops.limbs import LIMB_BITS
+
+    curve = get_curve("alt_bn128")
+    fq = FpKernel(curve.fq_params)
+    ck = CurveKernel(fq, "G1")
+    mk = MSMKernel(ck, curve.r.bit_length())
+    c = int(os.environ.get("BENCH_WINDOW_BITS", "0")) or default_window_bits(m)
+
+    # build m distinct points on device: batch_exp of a base by 1..m
+    table_c, W = 8, -(-curve.r.bit_length() // 8)
+    base = ck.encode_points([curve.G1.one()], jacobian=False)
+    nl = -(-curve.r.bit_length() // LIMB_BITS)
+
+    @jax.jit
+    def gen_points(bx, by, sc):
+        t = mk.window_table((bx, by), table_c, W)
+        taff = ck.to_affine(t)
+        return ck.to_affine(mk.batch_exp(taff, sc, table_c))
+
+    rng = np.random.default_rng(0)
+    gen_sc = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+    pts = gen_points(base[0], base[1], jnp.asarray(gen_sc))
+    jax.block_until_ready(pts)
+
+    # random ~254-bit scalars (top limb clipped below r)
+    sc = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+    sc[-1] &= 0x2FFF  # keep < r for bn254 (r ~ 2^253.5)
+    sc = jnp.asarray(sc)
+
+    msm = jax.jit(lambda p, s: mk.msm(p, s, c))
+    out = msm(pts, sc)
+    jax.block_until_ready(out)  # compile + warm
+
+    times = []
+    for _ in range(iters):
+        t0 = time.monotonic()
+        out = msm(pts, sc)
+        jax.block_until_ready(out)
+        times.append(time.monotonic() - t0)
+    best = min(times)
+    pps = m / best
+
+    print(json.dumps({
+        "metric": f"msm_g1_points_per_s_2e{log2m}",
+        "value": round(pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pps / TARGET_POINTS_PER_S, 4),
+    }))
+    print(f"# m=2^{log2m} c={c} best={best:.3f}s times={times} "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -164,50 +164,41 @@ class FpKernel:
         """Montgomery reduction of lazy columns (K >= 2N+1, value < R*p).
 
         Columns must be < ~2^26 on entry (normalized enough). Returns
-        canonical (N, *batch) value < p.
+        canonical (N, *batch) value < p. Fully vectorized over the limb
+        axis: ~12 HLO ops per REDC step (graph size matters: this sits
+        inside every group-op kernel).
         """
+        N = self.N
         K = cols.shape[0]
-        acc = [cols[k] for k in range(K)]
-        zero = jnp.zeros_like(acc[0])
-        while len(acc) < 2 * self.N + 2:
-            acc.append(zero)
-        for i in range(self.N):
+        if K < 2 * N + 2:
+            pad = jnp.zeros((2 * N + 2 - K,) + cols.shape[1:], dtype=U32)
+            cols = jnp.concatenate([cols, pad], axis=0)
+        acc = cols
+        p_vec = self._const(self.p_np, acc.ndim - 1)
+        for i in range(N):
             # normalize column i so its low 16 bits are exact
-            c = acc[i] >> LIMB_BITS
-            acc[i + 1] = acc[i + 1] + c
+            acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
             t = acc[i] & LIMB_MASK
-            acc[i] = t  # high bits folded; keep only the exact low part
+            acc = acc.at[i].set(t)
             u = (t * self.n0inv) & LIMB_MASK
-            # acc += u * p << (16 i)
-            for j in range(self.N):
-                prod = u * self.p_list[j]
-                acc[i + j] = acc[i + j] + (prod & LIMB_MASK)
-                acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+            prod = u[None] * p_vec                       # (N, *batch)
+            acc = acc.at[i: i + N].add(prod & LIMB_MASK)
+            acc = acc.at[i + 1: i + N + 1].add(prod >> LIMB_BITS)
             # column i is now == 0 mod 2^16; fold its carry and drop it
-            acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
-        res = jnp.stack(acc[self.N: 2 * self.N + 2], axis=0)
+            acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
+        res = acc[N: 2 * N + 2]
         res = self._carry_propagate(res, out_len=self.N + 1)
         return self._cond_sub_p(res)
 
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p. Inputs canonical (< p)."""
         N = self.N
-        a_l = [a[i] for i in range(N)]
-        cols = [None] * (2 * N + 1)
-
-        def acc(k, v):
-            cols[k] = v if cols[k] is None else cols[k] + v
-
+        cols = jnp.zeros((2 * N + 2,) + a.shape[1:], dtype=U32)
         for i in range(N):
-            prod = a_l[i][None] * b  # (N, *batch) uint32, exact
-            lo = prod & LIMB_MASK
-            hi = prod >> LIMB_BITS
-            for j in range(N):
-                acc(i + j, lo[j])
-                acc(i + j + 1, hi[j])
-        zero = jnp.zeros_like(a[0])
-        stacked = jnp.stack([c if c is not None else zero for c in cols], axis=0)
-        return self._redc(stacked)
+            prod = a[i][None] * b  # (N, *batch) uint32, exact
+            cols = cols.at[i: i + N].add(prod & LIMB_MASK)
+            cols = cols.at[i + 1: i + N + 1].add(prod >> LIMB_BITS)
+        return self._redc(cols)
 
     def sqr(self, a):
         return self.mul(a, a)

@@ -128,9 +128,17 @@ class MSMKernel:
         scalars: (NL, m) uint32 plain-integer limbs.
         Returns a Jacobian point with batch shape (1,).
         """
+        c = c or default_window_bits(scalars.shape[-1])
+        S = self.window_sums(points_aff, scalars, c)
+        return self.combine_windows(S, c)
+
+    def window_sums(self, points_aff, scalars, c: int):
+        """Per-window bucket-aggregated sums S_w (leading axis W).
+
+        This is the shardable core: partial window sums from disjoint point
+        ranges combine by plain point addition (see parallel/msm_sharded)."""
         ck, fk = self.ck, self.fk
         m = scalars.shape[-1]
-        c = c or default_window_bits(m)
         B = 1 << (c - 1)
         x, y, inf = points_aff
         digits, signs = self.signed_digits(scalars, c)   # (W, m)
@@ -181,8 +189,12 @@ class MSMKernel:
             return carry, S_w
 
         _, S = jax.lax.scan(per_window, None, (digits, signs))  # (W, ...) points
+        return S
 
-        # Horner window combine, MSB window first
+    def combine_windows(self, S, c: int):
+        """Horner combine of per-window sums: sum_w 2^(cw) S_w."""
+        ck = self.ck
+        # MSB window first
         S_rev = _tree_map(lambda a: jnp.flip(a, axis=0), S)
 
         def comb(acc, s_w):

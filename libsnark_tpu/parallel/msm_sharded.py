@@ -1,0 +1,86 @@
+"""Multi-device MSM: points sharded over a mesh axis (SURVEY.md section 2.9).
+
+The reference's only parallelism is OpenMP chunking of the bucket loop
+(multi_exp(..., chunks=omp_get_max_threads()), r1cs_gg_ppzksnark.tcc:
+308-314). The TPU-native design: shard the point/scalar arrays over a
+1-D device mesh; every device runs the full per-window sort-and-rake
+bucket pipeline on its shard (ops/msm.py window_sums); the per-window
+partial sums -- O(W) points, tiny -- are combined with a log-depth
+point-add tree across devices, then a single Horner window combine.
+
+Group addition is not an XLA psum-able reduction (it's ~15k uint32 ops),
+so the cross-device combine uses all_gather over the mesh axis + local
+tree add inside shard_map -- the collective moves only W points per device.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
+                c: int = 8):
+    """MSM with the batch (last) axis of points/scalars sharded on `axis`.
+
+    points_aff: (x, y, inf) global arrays; scalars (NL, m). Returns a
+    Jacobian point (batch (1,)), replicated.
+    """
+    ck = msm_kernel.ck
+
+    ndim_x = points_aff[0].ndim
+
+    def spec_last(nd):
+        return P(*([None] * (nd - 1) + [axis]))
+
+    in_specs = (
+        (spec_last(ndim_x), spec_last(ndim_x), P(axis)),
+        spec_last(2),
+    )
+
+    def local(pts, sc):
+        S = msm_kernel.window_sums(pts, sc, c)      # (W, ..coords.., 1)
+        # gather per-device window sums and tree-add locally
+        def gath(a):
+            return jax.lax.all_gather(a, axis)      # (D, W, ..., 1)
+        G = tuple(gath(a) for a in S)
+        D = G[0].shape[0]
+        acc = tuple(a[0] for a in G)
+        d = 1
+        while d < D:
+            other = tuple(a[d] for a in G)
+            acc = ck.add(acc, other)
+            d += 1
+        return acc
+
+    f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                  out_specs=_replicated_specs(points_aff),
+                  check_rep=False)
+    S_total = f(points_aff, scalars)
+    return msm_kernel.combine_windows(S_total, c)
+
+
+def pad_for_mesh(points_aff, scalars, mult: int):
+    """Pad the batch axis to a multiple of `mult` with infinity points and
+    zero scalars (shard_map needs even divisibility)."""
+    m = scalars.shape[-1]
+    pad = (-m) % mult
+    if pad == 0:
+        return points_aff, scalars
+    x, y, inf = points_aff
+
+    def padlast(a, val=0):
+        cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, cfg, constant_values=val)
+
+    return ((padlast(x), padlast(y), padlast(inf, True)),
+            padlast(scalars))
+
+
+def _replicated_specs(points_aff):
+    nd = points_aff[0].ndim
+    # window sums: (W,) + coord dims + (1,) -- all replicated
+    return tuple(P(*([None] * (nd + 1))) for _ in range(3))

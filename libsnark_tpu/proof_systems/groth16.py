@@ -229,6 +229,63 @@ class Groth16:
                - pk.delta_g1 * (rnd_r * rnd_s % r))
         return Groth16Proof(g_A=g_A, g_B=g_B, g_C=g_C)
 
+    def prover_sharded(self, pk, primary: list, auxiliary: list, mesh,
+                       axis: str, seed: Optional[int] = None):
+        """Multi-device prove: four-step distributed NTT witness map +
+        point-sharded MSMs over `mesh[axis]` (the reference's OpenMP
+        chunking, re-designed as SPMD; SURVEY.md section 2.9)."""
+        from ..parallel.ntt_sharded import FourStepDomain
+        from ..parallel.msm_sharded import sharded_msm, pad_for_mesh
+        from ..ops.ntt import get_domain_size
+
+        curve, r = self.curve, self.curve.r
+        if seed is None:
+            rnd_r, rnd_s = secrets.randbelow(r), secrets.randbelow(r)
+        else:
+            import random as _random
+            rng = _random.Random(seed)
+            rnd_r, rnd_s = rng.randrange(r), rng.randrange(r)
+
+        cs, dev = pk.cs, pk.r1cs_dev
+        D = mesh.devices.size
+        m = get_domain_size(cs.num_constraints + cs.num_inputs + 1)
+        domain = FourStepDomain(self.fr, curve.fr_params,
+                                m.bit_length() - 1, mesh, axis)
+        full = [1] + [v % r for v in primary] + [v % r for v in auxiliary]
+        assignment_mont = jnp.asarray(self.fr.encode(full))
+        msm_c = max(4, default_window_bits(dev.num_variables + 1))
+
+        with mesh:
+            H = qap_witness_map(dev, domain, assignment_mont)
+            H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
+            assign_plain = self.fr.from_mont(assignment_mont)
+            aux_plain = assign_plain[..., dev.num_inputs + 1:]
+
+            def smsm(mk, q, sc):
+                q2, sc2 = pad_for_mesh(q, sc, D)
+                return sharded_msm(mk, mesh, axis, q2, sc2, c=msm_c)
+
+            At = smsm(self.msm_g1, pk.A_query, assign_plain)
+            Bt2 = smsm(self.msm_g2, pk.B_query_g2, assign_plain)
+            Bt1 = smsm(self.msm_g1, pk.B_query_g1, assign_plain)
+            Ht = smsm(self.msm_g1, pk.H_query, H_plain)
+            Lt = smsm(self.msm_g1, pk.L_query, aux_plain)
+            outs = (self.g1.to_affine(At), self.g2.to_affine(Bt2),
+                    self.g1.to_affine(Bt1), self.g1.to_affine(Ht),
+                    self.g1.to_affine(Lt))
+
+        At_a, Bt2_a, Bt1_a, Ht_a, Lt_a = outs
+        dec1 = lambda aff: self._decode_affine(self.g1, aff, curve.G1)
+        dec2 = lambda aff: self._decode_affine(self.g2, aff, curve.G2)
+        At, Bt1, Ht, Lt = dec1(At_a), dec1(Bt1_a), dec1(Ht_a), dec1(Lt_a)
+        Bt2 = dec2(Bt2_a)
+        g_A = pk.alpha_g1 + At + pk.delta_g1 * rnd_r
+        g_B = pk.beta_g2 + Bt2 + pk.delta_g2 * rnd_s
+        g_B1 = pk.beta_g1 + Bt1 + pk.delta_g1 * rnd_s
+        g_C = (Ht + Lt + g_A * rnd_s + g_B1 * rnd_r
+               - pk.delta_g1 * (rnd_r * rnd_s % r))
+        return Groth16Proof(g_A=g_A, g_B=g_B, g_C=g_C)
+
     @staticmethod
     def _decode_affine(ck, aff, group):
         x, y, inf = aff
