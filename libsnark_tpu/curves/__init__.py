@@ -15,10 +15,11 @@ def _register(name, module_name):
 
 
 _register("alt_bn128", "alt_bn128")
+# the reference's "bn128" (ate-pairing/xbyak backend) is the SAME curve as
+# alt_bn128 -- one implementation here (common/default_types parity)
+_register("bn128", "alt_bn128")
 _register("bls12_377", "bls12_377")
 _register("bw6_761", "bw6_761")
-_register("mnt4", "mnt4")
-_register("mnt6", "mnt6")
 
 
 @functools.lru_cache(maxsize=None)

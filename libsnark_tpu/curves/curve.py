@@ -131,8 +131,8 @@ class Curve:
     # ------------------------------------------------------------------------
     def _derive_g1_generator(self):
         P = find_point_from_x(self.G1, 1)
-        P = P * self.g1_cofactor
-        assert not P.is_zero() and (P * self.r).is_zero()
+        P = P.mul_unreduced(self.g1_cofactor)
+        assert not P.is_zero() and P.mul_unreduced(self.r).is_zero()
         self.G1._generator = (P.x, P.y)
         self.generator_derived = True
 
@@ -145,8 +145,8 @@ class Curve:
             rhs = x * x * x + self.b2
             try:
                 y = rhs.sqrt()
-                Q = self.G2.point(x, y) * self.g2_cofactor
-                if not Q.is_zero() and (Q * self.r).is_zero():
+                Q = self.G2.point(x, y).mul_unreduced(self.g2_cofactor)
+                if not Q.is_zero() and Q.mul_unreduced(self.r).is_zero():
                     self.G2._generator = (Q.x, Q.y)
                     self.generator_derived = True
                     return

@@ -108,9 +108,20 @@ class ECPoint:
         return ECPoint(self.group, x3, y3)
 
     def __mul__(self, k: int):
+        """Scalar multiplication. NOTE: reduces k mod the subgroup order
+        -- only sound for points INSIDE the order-r subgroup. Cofactor
+        clearing must use mul_unreduced."""
         k = int(k)
         if self.group.order is not None:
             k %= self.group.order
+        return self.mul_unreduced(k)
+
+    def mul_unreduced(self, k: int):
+        """Scalar multiplication without order reduction (for cofactor
+        clearing / points of unknown order)."""
+        k = int(k)
+        if k < 0:
+            return (-self).mul_unreduced(-k)
         if k == 0 or self.is_zero():
             return self.group.zero()
         acc = self.group.zero()

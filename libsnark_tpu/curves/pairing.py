@@ -162,3 +162,57 @@ class PairingEngine:
                 continue
             f = f * self.miller_loop(self.embed_g2(Q), self.embed_g1(P))
         return self.final_exponentiation(f) == self.Fq12.one()
+
+
+class W6PairingEngine(PairingEngine):
+    """Ate pairing for embedding-degree-6 curves with G2 on a sextic
+    twist over Fq itself (the BW6-761 / Cocks-Pinch-k6 shape used for
+    one-layer proof composition; reference
+    gadgetlib1/gadgets/pairing/bw6_761_bls12_377/).
+
+    GT lives in Fq6 = Fq3[w]/(w^2 - v), Fq3 = Fq[v]/(v^3 - xi).
+    Miller loop count = t - 1 (generic ate); final exponentiation
+    (q^6-1)/r = (q^3-1)(q+1) * (q^2-q+1)/r.
+    """
+
+    def __init__(self, Fq6, G1, G2, trace, r, twist_type="M"):
+        self.Fq12 = Fq6                  # the "target field" slot
+        self.G1 = G1
+        self.G2 = G2
+        self.loop_count = trace - 1
+        self.loop_is_neg = False
+        self.family = "w6"
+        self.twist_type = twist_type
+        self.r = r
+        q = Fq6.char
+        assert (q * q - q + 1) % r == 0
+        self._hard_exp = (q * q - q + 1) // r
+        Fq3 = Fq6.base_field
+        v = Fq3(Fq3.base_field.zero(), Fq3.base_field.one(),
+                Fq3.base_field.zero())
+        self._w2 = Fq6(v, Fq3.zero())          # w^2 = v
+        self._w3 = Fq6(Fq3.zero(), v)          # w^3 = v * w
+
+    def embed_g1(self, P):
+        if P.is_zero():
+            return None
+        Fq6 = self.Fq12
+        Fq3 = Fq6.base_field
+        lift = lambda a: Fq6(Fq3(a))
+        return (lift(P.x), lift(P.y))
+
+    def embed_g2(self, Q):
+        """G2 on twist E'/Fq -> E(Fq6); M: (x/w^2, y/w^3)."""
+        if Q.is_zero():
+            return None
+        Fq6 = self.Fq12
+        Fq3 = Fq6.base_field
+        lift = lambda a: Fq6(Fq3(a))
+        if self.twist_type == "M":
+            return (lift(Q.x) / self._w2, lift(Q.y) / self._w3)
+        return (lift(Q.x) * self._w2, lift(Q.y) * self._w3)
+
+    def final_exponentiation(self, f):
+        m = f.frobenius(3) * f.inverse()          # ^(q^3-1)
+        m = m.frobenius(1) * m                    # ^(q+1)
+        return m ** self._hard_exp                # ^((q^2-q+1)/r)

@@ -77,6 +77,7 @@ class KZG10:
             taff = ck.to_affine(table)
             return ck.to_affine(self.msm.batch_exp(taff, sc, c))
 
+        powers += [0] * (self._bucket(len(powers)) - len(powers))
         sc = jnp.asarray(ints_to_limbs(powers, self.scalar_limbs))
         g1_powers = build(baff[0], baff[1], sc)
         return KZG10SRS(alpha_powers_g1=g1_powers,
@@ -84,14 +85,21 @@ class KZG10:
                         degree=degree)
 
     # -- commit ----------------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Power-of-two shape bucket so XLA executables are shared across
+        polynomial degrees (pad scalars with zeros / points with inf)."""
+        return max(16, 1 << max(0, n - 1).bit_length())
+
     def commit(self, srs: KZG10SRS, coeffs: List[int]):
         """coeffs: host ints, length <= degree+1."""
         n = len(coeffs)
         assert n <= srs.degree + 1
-        sc = jnp.asarray(ints_to_limbs([c % self.curve.r for c in coeffs],
-                                       self.scalar_limbs))
-        pts = tuple(a[..., :n] for a in srs.alpha_powers_g1)
-        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(n))
+        nb = min(self._bucket(n), srs.alpha_powers_g1[0].shape[-1])
+        padded = [c % self.curve.r for c in coeffs] + [0] * (nb - n)
+        sc = jnp.asarray(ints_to_limbs(padded, self.scalar_limbs))
+        pts = tuple(a[..., :nb] for a in srs.alpha_powers_g1)
+        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
                       )(pts, sc)
         return KZG10Commitment(self.g1.decode_points(out, self.curve.G1)[0])
 
@@ -130,9 +138,13 @@ class KZG10:
 
         q_plain = quotient(a, dinv_dev, v_enc)   # (N, m), degree <= n-2
         nq = n - 1
-        pts = tuple(arr[..., :nq] for arr in srs.alpha_powers_g1)
-        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(nq))
-                      )(pts, q_plain[..., :nq])
+        nb = min(self._bucket(nq), srs.alpha_powers_g1[0].shape[-1])
+        pts = tuple(arr[..., :nb] for arr in srs.alpha_powers_g1)
+        sc = q_plain[..., :nq]
+        if nb > nq:
+            sc = jnp.pad(sc, [(0, 0)] * (sc.ndim - 1) + [(0, nb - nq)])
+        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
+                      )(pts, sc)
         return v, KZG10Commitment(self.g1.decode_points(out, self.curve.G1)[0])
 
     # -- verification -----------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Shared kernel bundle for pairing-based proof systems.
+
+Every ppzkSNARK in the reference repeats the same machinery: fixed-base
+window-table exponentiation at setup (libff get_window_table/batch_exp,
+e.g. r1cs_gg_ppzksnark.tcc:316-398) and variable-base multi_exp at prove
+time. Here that machinery is one device bundle per curve: packed-limb
+field kernels, Jacobian curve kernels, Pippenger MSM, and fixed-base
+batch-exp -- shared by Groth16 / GM17 / BCTV14 / DFGK14 / KZG.
+"""
+from __future__ import annotations
+
+import secrets
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fp import FpKernel
+from ..ops.fp2 import Fp2Kernel
+from ..ops.ec import CurveKernel
+from ..ops.msm import MSMKernel, default_window_bits
+from ..ops.limbs import ints_to_limbs
+
+
+class PairingSystem:
+    """Device kernel bundle over a named curve (G2 over Fq2 towers)."""
+
+    def __init__(self, curve):
+        self.curve = curve
+        self.fr = FpKernel(curve.fr_params)
+        self.fq = FpKernel(curve.fq_params)
+        self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
+        self.g1 = CurveKernel(self.fq, f"{curve.name}.G1")
+        self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
+        sbits = curve.r.bit_length()
+        self.msm_g1 = MSMKernel(self.g1, sbits)
+        self.msm_g2 = MSMKernel(self.g2, sbits)
+        self.scalar_limbs = -(-sbits // 16)
+
+    # -- randomness -------------------------------------------------------
+    def _rng(self, seed: Optional[int]):
+        r = self.curve.r
+        if seed is None:
+            return lambda: secrets.randbelow(r - 1) + 1
+        import random as _random
+        rng = _random.Random(seed)
+        return lambda: rng.randrange(1, r)
+
+    # -- host <-> device conversions ---------------------------------------
+    def scalars_to_dev(self, xs):
+        return jnp.asarray(ints_to_limbs([x % self.curve.r for x in xs],
+                                         self.scalar_limbs))
+
+    # Shape bucketing: every device program is compiled for power-of-two
+    # lengths only, so circuits of different sizes share XLA executables
+    # (one compile per bucket, not per circuit). Pad slots hold scalar 0 /
+    # the point at infinity -- both are exact no-ops for batch-exp and for
+    # Pippenger (zero digits land in the never-raked bucket 0).
+    @staticmethod
+    def bucket(n: int) -> int:
+        return max(16, 1 << max(0, n - 1).bit_length())
+
+    @staticmethod
+    def pad_to(arr, target: int):
+        """Pad the last axis with zeros up to `target` lanes."""
+        pad = target - arr.shape[-1]
+        if pad <= 0:
+            return arr
+        return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, pad)])
+
+    def fixed_base_g1(self, base_host, scalars, c=8):
+        """[s * base for s in scalars] as device affine G1 (x, y, inf),
+        PADDED to the enclosing power-of-two bucket (pad = infinity)."""
+        return self._fixed_base(self.g1, self.msm_g1, base_host, scalars, c)
+
+    def fixed_base_g2(self, base_host, scalars, c=8):
+        return self._fixed_base(self.g2, self.msm_g2, base_host, scalars, c)
+
+    def _fixed_base(self, ck, mk, base_host, scalars, c):
+        W = -(-self.curve.r.bit_length() // c)
+        baff = ck.encode_points([base_host], jacobian=False)
+
+        @jax.jit
+        def build(bx, by, sc):
+            table = mk.window_table((bx, by), c, W)
+            taff = ck.to_affine(table)
+            return ck.to_affine(mk.batch_exp(taff, sc, c))
+
+        scalars = list(scalars)
+        scalars += [0] * (self.bucket(len(scalars)) - len(scalars))
+        sc = self.scalars_to_dev(scalars)
+        return build(baff[0], baff[1], sc)
+
+    def decode_g1(self, aff, lane=0):
+        return self._decode_affine(self.g1, aff, self.curve.G1, lane)
+
+    def decode_g2(self, aff, lane=0):
+        return self._decode_affine(self.g2, aff, self.curve.G2, lane)
+
+    @staticmethod
+    def _decode_affine(ck, aff, group, lane=0):
+        x, y, inf = aff
+        if np.asarray(inf).reshape(-1)[lane]:
+            return group.zero()
+        if hasattr(ck.fk, "fp"):
+            c0x, c1x = ck.fk.decode(x)
+            c0y, c1y = ck.fk.decode(y)
+            F = group.F
+            return group.point(
+                F(int(np.ravel(c0x)[lane]), int(np.ravel(c1x)[lane])),
+                F(int(np.ravel(c0y)[lane]), int(np.ravel(c1y)[lane])))
+        return group.point(int(np.ravel(ck.fk.decode(x))[lane]),
+                           int(np.ravel(ck.fk.decode(y))[lane]))
+
+    def encode_host_points_g1(self, pts):
+        return self.g1.encode_points(pts, jacobian=False)
+
+    def encode_host_points_g2(self, pts):
+        return self.g2.encode_points(pts, jacobian=False)

@@ -29,11 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fp import FpKernel
-from ..ops.fp2 import Fp2Kernel
-from ..ops.ec import CurveKernel
-from ..ops.msm import MSMKernel, default_window_bits
-from ..ops.limbs import ints_to_limbs
+from .base import PairingSystem
+from ..ops.msm import default_window_bits
 from ..reductions.r1cs_to_qap import (
     qap_domain, qap_instance_map_with_evaluation, qap_witness_map)
 
@@ -88,57 +85,26 @@ class Groth16Proof:
 
 # ------------------------------------------------------------------- system
 
-class Groth16:
-    """Groth16 over a named curve; holds the device kernel bundle."""
+class Groth16(PairingSystem):
+    """Groth16 over a named curve; holds the device kernel bundle.
 
-    def __init__(self, curve):
-        self.curve = curve
-        self.fr = FpKernel(curve.fr_params)
-        self.fq = FpKernel(curve.fq_params)
-        self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
-        self.g1 = CurveKernel(self.fq, f"{curve.name}.G1")
-        self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
-        sbits = curve.r.bit_length()
-        self.msm_g1 = MSMKernel(self.g1, sbits)
-        self.msm_g2 = MSMKernel(self.g2, sbits)
-        self.scalar_limbs = -(-sbits // 16)
+    Queries are device affine arrays padded to power-of-two buckets
+    (PairingSystem.bucket) so different circuit sizes share XLA
+    executables; pad lanes are infinity points / zero scalars.
+    """
 
-    # -- helpers ---------------------------------------------------------------
-    def _scalars_to_dev(self, xs):
-        return jnp.asarray(ints_to_limbs([x % self.curve.r for x in xs],
-                                         self.scalar_limbs))
-
+    # legacy aliases (base class provides the public names)
     def _fixed_base_g1(self, base_host, scalars, c=8):
-        """[s * base for s in scalars] as device affine G1 arrays."""
-        return self._fixed_base(self.g1, self.msm_g1, base_host, scalars, c)
+        return self.fixed_base_g1(base_host, scalars, c)
 
     def _fixed_base_g2(self, base_host, scalars, c=8):
-        return self._fixed_base(self.g2, self.msm_g2, base_host, scalars, c)
-
-    def _fixed_base(self, ck, mk, base_host, scalars, c):
-        W = -(-self.curve.r.bit_length() // c)
-        baff = ck.encode_points([base_host], jacobian=False)
-
-        @jax.jit
-        def build(bx, by, sc):
-            table = mk.window_table((bx, by), c, W)
-            taff = ck.to_affine(table)
-            return ck.to_affine(mk.batch_exp(taff, sc, c))
-
-        sc = self._scalars_to_dev(scalars)
-        return build(baff[0], baff[1], sc)
+        return self.fixed_base_g2(base_host, scalars, c)
 
     # -- generator ----------------------------------------------------------------
     def generator(self, cs, seed: Optional[int] = None):
         """Trusted setup. seed=None -> secure randomness; otherwise
         deterministic (generator_from_secrets-style parity path)."""
-        r = self.curve.r
-        if seed is None:
-            rand = lambda: secrets.randbelow(r - 1) + 1
-        else:
-            import random as _random
-            rng = _random.Random(seed)
-            rand = lambda: rng.randrange(1, r)
+        rand = self._rng(seed)
         t, alpha, beta, gamma, delta = (rand() for _ in range(5))
         return self.generator_from_secrets(cs, t, alpha, beta, gamma, delta)
 
@@ -159,11 +125,11 @@ class Groth16:
         H_s = [qap.Ht[i] * qap.Zt % r * delta_inv % r for i in range(m - 1)]
 
         G1, G2 = curve.G1.one(), curve.G2.one()
-        A_query = self._fixed_base_g1(G1, qap.At)
-        B_query_g2 = self._fixed_base_g2(G2, qap.Bt)
-        B_query_g1 = self._fixed_base_g1(G1, qap.Bt)
-        H_query = self._fixed_base_g1(G1, H_s)
-        L_query = self._fixed_base_g1(G1, L_s)
+        A_query = self.fixed_base_g1(G1, qap.At)
+        B_query_g2 = self.fixed_base_g2(G2, qap.Bt)
+        B_query_g1 = self.fixed_base_g1(G1, qap.Bt)
+        H_query = self.fixed_base_g1(G1, H_s)
+        L_query = self.fixed_base_g1(G1, L_s)
         gamma_ABC = [G1 * s for s in gamma_ABC_s]
 
         pk = Groth16ProvingKey(
@@ -200,12 +166,15 @@ class Groth16:
         @jax.jit
         def device_prove(assign_mont, A_q, B_q2, B_q1, H_q, L_q):
             H = qap_witness_map(dev, domain, assign_mont)      # (N, m) mont
-            H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
+            H_plain = self.pad_to(
+                self.fr.from_mont(H)[..., : domain.m - 1], H_q[0].shape[-1])
             assign_plain = self.fr.from_mont(assign_mont)
-            aux_plain = assign_plain[..., dev.num_inputs + 1:]
-            At = self.msm_g1.msm(A_q, assign_plain, msm_c)
-            Bt2 = self.msm_g2.msm(B_q2, assign_plain, msm_c)
-            Bt1 = self.msm_g1.msm(B_q1, assign_plain, msm_c)
+            full = self.pad_to(assign_plain, A_q[0].shape[-1])
+            aux_plain = self.pad_to(assign_plain[..., dev.num_inputs + 1:],
+                                    L_q[0].shape[-1])
+            At = self.msm_g1.msm(A_q, full, msm_c)
+            Bt2 = self.msm_g2.msm(B_q2, full, msm_c)
+            Bt1 = self.msm_g1.msm(B_q1, full, msm_c)
             Ht = self.msm_g1.msm(H_q, H_plain, msm_c)
             Lt = self.msm_g1.msm(L_q, aux_plain, msm_c)
             return (self.g1.to_affine(At), self.g2.to_affine(Bt2),
@@ -216,8 +185,7 @@ class Groth16:
             assignment_mont, pk.A_query, pk.B_query_g2, pk.B_query_g1,
             pk.H_query, pk.L_query)
 
-        dec1 = lambda aff: self._decode_affine(self.g1, aff, curve.G1)
-        dec2 = lambda aff: self._decode_affine(self.g2, aff, curve.G2)
+        dec1, dec2 = self.decode_g1, self.decode_g2
         At, Bt1, Ht, Lt = dec1(At_a), dec1(Bt1_a), dec1(Ht_a), dec1(Lt_a)
         Bt2 = dec2(Bt2_a)
 
@@ -262,6 +230,7 @@ class Groth16:
             aux_plain = assign_plain[..., dev.num_inputs + 1:]
 
             def smsm(mk, q, sc):
+                sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket
                 q2, sc2 = pad_for_mesh(q, sc, D)
                 return sharded_msm(mk, mesh, axis, q2, sc2, c=msm_c)
 
@@ -275,8 +244,7 @@ class Groth16:
                     self.g1.to_affine(Lt))
 
         At_a, Bt2_a, Bt1_a, Ht_a, Lt_a = outs
-        dec1 = lambda aff: self._decode_affine(self.g1, aff, curve.G1)
-        dec2 = lambda aff: self._decode_affine(self.g2, aff, curve.G2)
+        dec1, dec2 = self.decode_g1, self.decode_g2
         At, Bt1, Ht, Lt = dec1(At_a), dec1(Bt1_a), dec1(Ht_a), dec1(Lt_a)
         Bt2 = dec2(Bt2_a)
         g_A = pk.alpha_g1 + At + pk.delta_g1 * rnd_r
@@ -285,21 +253,6 @@ class Groth16:
         g_C = (Ht + Lt + g_A * rnd_s + g_B1 * rnd_r
                - pk.delta_g1 * (rnd_r * rnd_s % r))
         return Groth16Proof(g_A=g_A, g_B=g_B, g_C=g_C)
-
-    @staticmethod
-    def _decode_affine(ck, aff, group):
-        x, y, inf = aff
-        if np.asarray(inf).reshape(-1)[0]:
-            return group.zero()
-        if hasattr(ck.fk, "fp"):
-            c0x, c1x = ck.fk.decode(x)
-            c0y, c1y = ck.fk.decode(y)
-            F = group.F
-            return group.point(
-                F(int(np.ravel(c0x)[0]), int(np.ravel(c1x)[0])),
-                F(int(np.ravel(c0y)[0]), int(np.ravel(c1y)[0])))
-        return group.point(int(np.ravel(ck.fk.decode(x))[0]),
-                           int(np.ravel(ck.fk.decode(y))[0]))
 
     # -- verifier -------------------------------------------------------------------------
     def verifier_strong_IC(self, vk, primary: list, proof) -> bool:

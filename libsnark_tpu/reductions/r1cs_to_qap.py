@@ -37,7 +37,7 @@ class QAPInstanceEvaluation:
     At: List[int]
     Bt: List[int]
     Ct: List[int]
-    Ht: List[int]     # powers t^0 .. t^(m-1)
+    Ht: List[int]     # powers t^0 .. t^m
     Zt: int
     degree: int
     num_inputs: int
@@ -62,8 +62,8 @@ def qap_instance_map_with_evaluation(cs, domain, t: int):
             Bt[term.index] = (Bt[term.index] + term.coeff * uj) % p
         for term in con.c.compact(p).terms:
             Ct[term.index] = (Ct[term.index] + term.coeff * uj) % p
-    Ht = [1] * domain.m
-    for i in range(1, domain.m):
+    Ht = [1] * (domain.m + 1)
+    for i in range(1, domain.m + 1):
         Ht[i] = Ht[i - 1] * t % p
     return QAPInstanceEvaluation(
         t=t, At=At, Bt=Bt, Ct=Ct, Ht=Ht, Zt=domain.vanishing_eval(t),
@@ -100,3 +100,43 @@ def qap_witness_map(r1cs_dev, domain, assignment_mont):
     H = fk.sub(H, eC)
     H = domain.divide_by_z_on_coset(H)
     return domain.icoset_fft(H)
+
+
+def qap_witness_map_zk(r1cs_dev, domain, assignment_mont,
+                       d1: int, d2: int, d3: int):
+    """ZK-patched witness map (reference r1cs_to_qap.tcc:209-344 with
+    nonzero d1/d2/d3): coefficients of
+
+      H = (A*B - C)/Z + (d2*A + d1*B - d3) + d1*d2*Z
+
+    Returns (N, m+1) Montgomery limbs (degree m; top coeff = d1*d2).
+    Used by BCTV14; Groth16 passes zeros via ``qap_witness_map``."""
+    fk = domain.fk
+    p, m = domain.p, domain.m
+    n = r1cs_dev.num_constraints
+    k = r1cs_dev.num_inputs
+
+    aA = r1cs_dev.A.evaluate(fk, assignment_mont, m)
+    aB = r1cs_dev.B.evaluate(fk, assignment_mont, m)
+    aA = jnp.concatenate(
+        [aA[..., :n], assignment_mont[..., :k + 1], aA[..., n + k + 1:]],
+        axis=-1)
+    cA = domain.ifft(aA)
+    cB = domain.ifft(aB)
+    patch = fk.add(fk.mul_small(cA, d2 % p), fk.mul_small(cB, d1 % p))
+    eA = domain.coset_fft(cA)
+    eB = domain.coset_fft(cB)
+    H = fk.mul(eA, eB)
+    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m)
+    eC = domain.coset_fft(domain.ifft(aC))
+    H = fk.sub(H, eC)
+    H = domain.divide_by_z_on_coset(H)
+    Hc = domain.icoset_fft(H)
+    out = jnp.concatenate(
+        [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
+    d1d2 = d1 * d2 % p
+    c0 = jnp.asarray(fk.encode_scalar((-d3 - d1d2) % p))
+    cm = jnp.asarray(fk.encode_scalar(d1d2))
+    out = out.at[..., 0].set(fk.add(out[..., 0], c0))
+    out = out.at[..., m].set(fk.add(out[..., m], cm))
+    return out

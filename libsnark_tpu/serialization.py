@@ -1,0 +1,249 @@
+"""Stream serialization for keys / proofs / constraint systems.
+
+The reference's checkpoint story IS its serialization system: every
+pk/vk/proof/constraint-system has operator<</>> with formats governed by
+BINARY_OUTPUT / MONTGOMERY_OUTPUT / USE_PT_COMPRESSION compile flags
+(reference r1cs_gg_ppzksnark.tcc:49-202, CMakeLists.txt:46-60). Here the
+three axes are RUNTIME options of one Codec:
+
+* mode="text"  -> decimal integers, newline-terminated (the non-binary
+  grammar: one value per line, points as infinity-flag + coordinates)
+* mode="binary"-> little-endian fixed-width limbs
+* montgomery   -> field elements written in Montgomery form (raw R*x)
+* compress     -> points as x + sign bit of y
+
+The reference's exact byte grammar lives in libff (an empty submodule in
+the mounted checkout), so this is a faithful re-design of the structure,
+not a byte-for-byte clone; round-trip tests pin OUR grammar.
+"""
+from __future__ import annotations
+
+import io
+from typing import List
+
+from .fields import tonelli_shanks
+
+
+class Codec:
+    def __init__(self, curve, mode: str = "text", montgomery: bool = False,
+                 compress: bool = False):
+        assert mode in ("text", "binary")
+        self.curve = curve
+        self.mode = mode
+        self.montgomery = montgomery
+        self.compress = compress
+        self.q_bytes = (curve.q.bit_length() + 7) // 8
+        self.r_bytes = (curve.r.bit_length() + 7) // 8
+
+    # ---------------------------------------------------------------- ints
+    def _write_int(self, out, v: int, nbytes: int):
+        if self.mode == "text":
+            out.write(f"{v}\n".encode())
+        else:
+            out.write(int(v).to_bytes(nbytes, "little"))
+
+    def _read_int(self, inp, nbytes: int) -> int:
+        if self.mode == "text":
+            return int(inp.readline().strip())
+        return int.from_bytes(inp.read(nbytes), "little")
+
+    def write_fr(self, out, v: int):
+        r = self.curve.r
+        v = v % r
+        if self.montgomery:
+            v = v * self.curve.fr_params.R % r
+        self._write_int(out, v, self.r_bytes)
+
+    def read_fr(self, inp) -> int:
+        v = self._read_int(inp, self.r_bytes)
+        if self.montgomery:
+            v = v * pow(self.curve.fr_params.R, -1, self.curve.r) \
+                % self.curve.r
+        return v
+
+    def write_fq(self, out, v: int):
+        q = self.curve.q
+        v = int(v) % q
+        if self.montgomery:
+            v = v * self.curve.fq_params.R % q
+        self._write_int(out, v, self.q_bytes)
+
+    def read_fq(self, inp) -> int:
+        v = self._read_int(inp, self.q_bytes)
+        if self.montgomery:
+            v = v * pow(self.curve.fq_params.R, -1, self.curve.q) \
+                % self.curve.q
+        return v
+
+    # --------------------------------------------------------------- points
+    def _coords(self, x):
+        """Flatten a host field element to base-field ints."""
+        return x.to_list()
+
+    def write_g1(self, out, P):
+        self._write_int(out, 1 if P.is_zero() else 0, 1)
+        if P.is_zero():
+            return
+        if self.compress:
+            self.write_fq(out, int(P.x))
+            self._write_int(out, int(P.y) & 1, 1)
+        else:
+            self.write_fq(out, int(P.x))
+            self.write_fq(out, int(P.y))
+
+    def read_g1(self, inp):
+        curve = self.curve
+        if self._read_int(inp, 1):
+            return curve.G1.zero()
+        x = self.read_fq(inp)
+        if self.compress:
+            ybit = self._read_int(inp, 1)
+            xf = curve.Fq(x)
+            rhs = xf * xf * xf + curve.G1.a * xf + curve.G1.b
+            y = tonelli_shanks(int(rhs), curve.q)
+            if (y & 1) != ybit:
+                y = curve.q - y
+            return curve.G1.point(x, y)
+        y = self.read_fq(inp)
+        return curve.G1.point(x, y)
+
+    def write_g2(self, out, P):
+        self._write_int(out, 1 if P.is_zero() else 0, 1)
+        if P.is_zero():
+            return
+        for c in self._coords(P.x):
+            self.write_fq(out, c)
+        ys = self._coords(P.y)
+        if self.compress:
+            self._write_int(out, ys[0] & 1, 1)
+        else:
+            for c in ys:
+                self.write_fq(out, c)
+
+    def read_g2(self, inp):
+        curve = self.curve
+        G2 = curve.G2
+        if self._read_int(inp, 1):
+            return G2.zero()
+        F = G2.F
+        deg = getattr(curve, "g2_field_degree", 2)
+        if deg == 1:
+            x = F(self.read_fq(inp))
+        else:
+            x = F.from_list([self.read_fq(inp) for _ in range(deg)])
+        if self.compress:
+            ybit = self._read_int(inp, 1)
+            rhs = x * x * x + G2.a * x + G2.b
+            y = rhs.sqrt()
+            if (y.to_list()[0] & 1) != ybit:
+                y = -y
+            return G2.point(x, y)
+        if deg == 1:
+            y = F(self.read_fq(inp))
+        else:
+            y = F.from_list([self.read_fq(inp) for _ in range(deg)])
+        return G2.point(x, y)
+
+    # -------------------------------------------------------------- vectors
+    def write_fr_vector(self, out, vs: List[int]):
+        self._write_int(out, len(vs), 8)
+        for v in vs:
+            self.write_fr(out, v)
+
+    def read_fr_vector(self, inp) -> List[int]:
+        n = self._read_int(inp, 8)
+        return [self.read_fr(inp) for _ in range(n)]
+
+    def write_g1_vector(self, out, ps):
+        self._write_int(out, len(ps), 8)
+        for p in ps:
+            self.write_g1(out, p)
+
+    def read_g1_vector(self, inp):
+        n = self._read_int(inp, 8)
+        return [self.read_g1(inp) for _ in range(n)]
+
+    # ------------------------------------------------- linear combinations
+    def write_lc(self, out, lc, p: int):
+        terms = lc.compact(p).terms
+        self._write_int(out, len(terms), 8)
+        for t in terms:
+            self._write_int(out, t.index, 8)
+            self.write_fr(out, t.coeff)
+
+    def read_lc(self, inp):
+        from .relations.variable import LinearCombination, LinearTerm
+        n = self._read_int(inp, 8)
+        lc = LinearCombination()
+        for _ in range(n):
+            idx = self._read_int(inp, 8)
+            coeff = self.read_fr(inp)
+            lc.terms.append(LinearTerm(idx, coeff))
+        return lc
+
+    # ------------------------------------------------------ constraint system
+    def write_r1cs(self, out, cs):
+        """r1cs.tcc operator<< parity: sizes then per-constraint a,b,c."""
+        self._write_int(out, cs.primary_input_size, 8)
+        self._write_int(out, cs.auxiliary_input_size, 8)
+        self._write_int(out, cs.num_constraints, 8)
+        for c in cs.constraints:
+            self.write_lc(out, c.a, cs.p)
+            self.write_lc(out, c.b, cs.p)
+            self.write_lc(out, c.c, cs.p)
+
+    def read_r1cs(self, inp):
+        from .relations.r1cs import R1CSConstraintSystem
+        np_ = self._read_int(inp, 8)
+        na = self._read_int(inp, 8)
+        nc = self._read_int(inp, 8)
+        cs = R1CSConstraintSystem(self.curve.r, np_, na)
+        for _ in range(nc):
+            a = self.read_lc(inp)
+            b = self.read_lc(inp)
+            c = self.read_lc(inp)
+            cs.add_constraint(a, b, c)
+        return cs
+
+    # ------------------------------------------------------------ groth16
+    def write_groth16_vk(self, out, vk):
+        self.write_g1(out, vk.alpha_g1)
+        self.write_g2(out, vk.beta_g2)
+        self.write_g2(out, vk.gamma_g2)
+        self.write_g2(out, vk.delta_g2)
+        self.write_g1_vector(out, vk.gamma_ABC)
+
+    def read_groth16_vk(self, inp):
+        from .proof_systems.groth16 import Groth16VerificationKey
+        return Groth16VerificationKey(
+            alpha_g1=self.read_g1(inp),
+            beta_g2=self.read_g2(inp),
+            gamma_g2=self.read_g2(inp),
+            delta_g2=self.read_g2(inp),
+            gamma_ABC=self.read_g1_vector(inp))
+
+    def write_groth16_proof(self, out, proof):
+        self.write_g1(out, proof.g_A)
+        self.write_g2(out, proof.g_B)
+        self.write_g1(out, proof.g_C)
+
+    def read_groth16_proof(self, inp):
+        from .proof_systems.groth16 import Groth16Proof
+        return Groth16Proof(g_A=self.read_g1(inp),
+                            g_B=self.read_g2(inp),
+                            g_C=self.read_g1(inp))
+
+    # -------------------------------------------------------- convenience
+    def dumps(self, write_fn, obj) -> bytes:
+        buf = io.BytesIO()
+        write_fn(buf, obj)
+        return buf.getvalue()
+
+    def loads(self, read_fn, data: bytes):
+        return read_fn(io.BytesIO(data))
+
+
+def reserialize(codec: Codec, write_fn, read_fn, obj):
+    """Round-trip helper (libff::reserialize parity, used by the run_*
+    harnesses to exercise serialization inside integration tests)."""
+    return codec.loads(read_fn, codec.dumps(write_fn, obj))

@@ -1,0 +1,107 @@
+"""TinyRAM ISA + executor + memory interface tests (reference
+relations/ram_computations tests / gen_ram_example pattern)."""
+from libsnark_tpu.relations.tinyram import (
+    TinyRAMParams, TinyRAMProgram, TinyRAMInstruction, TinyRAMExecutor,
+    Opcode, DEFAULT_INSTRUCTION, tinyram_boot_trace)
+from libsnark_tpu.relations.memory import (
+    RAMemory, MemoryStoreTrace, DelegatedRAMemory)
+from libsnark_tpu.relations.fooram import FooRAMParams, FooRAMExecutor
+
+
+def test_instruction_encoding_roundtrip():
+    ap = TinyRAMParams(w=16, k=16)
+    for ins in [TinyRAMInstruction(Opcode.ADD, True, 3, 5, 1234),
+                TinyRAMInstruction(Opcode.LOADW, False, 7, 0, 9),
+                DEFAULT_INSTRUCTION]:
+        dw = ins.as_dword(ap)
+        assert dw < (1 << (2 * ap.w))
+        dec = TinyRAMInstruction.from_dword(ap, dw)
+        assert dec == ins
+
+
+def test_executor_arithmetic_and_answer():
+    ap = TinyRAMParams(w=16, k=4)
+    prog = TinyRAMProgram()
+    prog.add(Opcode.MOV, True, 0, 0, 7)        # r0 = 7
+    prog.add(Opcode.MOV, True, 1, 0, 5)        # r1 = 5
+    prog.add(Opcode.ADD, False, 2, 0, 1)       # r2 = r0 + r1 = 12
+    prog.add(Opcode.MULL, True, 2, 2, 3)       # r2 = 36
+    prog.add(Opcode.SUB, True, 2, 2, 36)       # r2 = 0
+    prog.add(Opcode.ANSWER, False, 0, 0, 2)    # answer r2
+    ex = TinyRAMExecutor(ap, prog)
+    answer, accepted, trace = ex.run([], [])
+    assert answer == 0 and accepted
+    assert trace[-1].instruction.opcode == Opcode.ANSWER
+
+
+def test_executor_memory_and_tape():
+    ap = TinyRAMParams(w=16, k=4)
+    prog = TinyRAMProgram()
+    prog.add(Opcode.READ, True, 0, 0, 0)       # r0 = tape[0] = 21
+    prog.add(Opcode.STOREW, True, 0, 0, 64)    # mem[64] = r0
+    prog.add(Opcode.LOADW, True, 1, 0, 64)     # r1 = mem[64]
+    prog.add(Opcode.SUB, False, 2, 0, 1)       # r2 = 0
+    prog.add(Opcode.ANSWER, False, 0, 0, 2)
+    ex = TinyRAMExecutor(ap, prog)
+    answer, accepted, trace = ex.run([21], [])
+    assert accepted
+    mem_ops = [s.mem_op for s in trace if s.mem_op]
+    assert mem_ops == [("w", 64, 21), ("r", 64, 21)]
+
+
+def test_executor_control_flow():
+    ap = TinyRAMParams(w=16, k=4)
+    prog = TinyRAMProgram()
+    # loop: r0 goes 5 -> 0 by decrement
+    prog.add(Opcode.MOV, True, 0, 0, 5)
+    prog.add(Opcode.SUB, True, 0, 0, 1)        # pc=1
+    prog.add(Opcode.CMPE, True, 0, 0, 0)       # flag = (r0 == 0)
+    prog.add(Opcode.CNJMP, True, 0, 0, 1)      # loop while r0 != 0
+    prog.add(Opcode.ANSWER, False, 0, 0, 0)    # answer r0 = 0
+    ex = TinyRAMExecutor(ap, prog)
+    answer, accepted, trace = ex.run([], [])
+    assert accepted
+    # 1 mov + 5*(sub,cmpe,cnjmp) + answer
+    assert len(trace) == 1 + 15 + 1
+
+
+def test_boot_trace_layout():
+    ap = TinyRAMParams(w=16, k=4)
+    prog = TinyRAMProgram()
+    prog.add(Opcode.ANSWER, True, 0, 0, 0)
+    contents = tinyram_boot_trace(ap, prog, [42, 43])
+    assert contents[0] == prog.instructions[0].as_dword(ap)
+    assert contents[1] == 42 and contents[2] == 43
+
+
+def test_memory_interfaces():
+    m = RAMemory(256, 16, {3: 99})
+    assert m.get_value(3) == 99 and m.get_value(5) == 0
+    m.set_value(5, 7)
+    assert m.get_value(5) == 7
+
+    t = MemoryStoreTrace()
+    t.set_trace_entry(1, (10, 100))
+    t.set_trace_entry(2, (20, 200))
+    assert t.get_trace_entry(1) == (10, 100)
+    assert t.as_memory_contents() == {10: 100, 20: 200}
+
+
+def test_delegated_memory_root_changes():
+    from libsnark_tpu.gadgets.hashes.sha256_host import (
+        sha256_two_to_one_hash_bits)
+    m = DelegatedRAMemory(8, 16, sha256_two_to_one_hash_bits, {0: 5})
+    r1 = m.get_root()
+    m.set_value(3, 77)
+    r2 = m.get_root()
+    assert r1 != r2
+    assert m.get_value(3) == 77
+    assert len(m.get_path(3)) == 3
+
+
+def test_fooram():
+    ap = FooRAMParams(w=8)
+    ex = FooRAMExecutor(ap, {0: 3, 3: 5, 8: 2})
+    acc, trace = ex.run(3)
+    # acc: 0+3=3 -> pc 3; 3+5=8 -> pc 8; 8+2=10
+    assert acc == 10 and len(trace) == 3
