@@ -25,13 +25,37 @@ def int_to_limbs(x: int, n: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs, n: int) -> np.ndarray:
-    """Iterable of ints -> (n, len(xs)) uint32 array."""
+    """Iterable of ints -> (n, len(xs)) uint32 array.
+
+    Uses the native C++ codec when available (libsnark_tpu.native);
+    falls back to the Python loop."""
+    xs = list(xs)
+    codec = _native_codec()
+    if codec is not None:
+        buf = codec.encode([int(x) for x in xs], n)
+        return np.frombuffer(buf, dtype=np.uint32).reshape(n, len(xs)).copy()
     out = np.empty((n, len(xs)), dtype=np.uint32)
     for j, x in enumerate(xs):
         x = int(x)
         for i in range(n):
             out[i, j] = (x >> (LIMB_BITS * i)) & LIMB_MASK
     return out
+
+
+def _native_codec():
+    global _codec, _codec_tried
+    if not _codec_tried:
+        try:
+            from ..native import limbcodec
+            _codec = limbcodec()
+        except Exception:
+            _codec = None
+        globals()["_codec_tried"] = True
+    return _codec
+
+
+_codec = None
+_codec_tried = False
 
 
 def limbs_to_int(a) -> int:
@@ -41,8 +65,11 @@ def limbs_to_int(a) -> int:
 
 
 def limbs_to_ints(a) -> list:
-    """(n, B) limb array -> list of B ints."""
-    a = np.asarray(a)
+    """(n, B) limb array -> list of B ints (native codec when available)."""
+    a = np.ascontiguousarray(np.asarray(a), dtype=np.uint32)
     n, b = a.shape
+    codec = _native_codec()
+    if codec is not None:
+        return codec.decode(a.tobytes(), n, b)
     return [sum(int(a[i, j]) << (LIMB_BITS * i) for i in range(n))
             for j in range(b)]
