@@ -30,9 +30,14 @@ class PairingSystem:
         self.curve = curve
         self.fr = FpKernel(curve.fr_params)
         self.fq = FpKernel(curve.fq_params)
-        self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
         self.g1 = CurveKernel(self.fq, f"{curve.name}.G1")
-        self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
+        if getattr(curve, "g2_field_degree", 2) == 1:
+            # k=6 outer curves (BW6-761): G2 lives over Fq itself
+            self.fq2 = None
+            self.g2 = CurveKernel(self.fq, f"{curve.name}.G2")
+        else:
+            self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
+            self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
         sbits = curve.r.bit_length()
         self.msm_g1 = MSMKernel(self.g1, sbits)
         self.msm_g2 = MSMKernel(self.g2, sbits)

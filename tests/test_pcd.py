@@ -1,0 +1,53 @@
+"""Compliance predicate + one-layer PCD aggregation tests (reference:
+tally_cp example + r1cs_sp_ppzkpcd harness shape; cycle-free one-layer
+composition per the Clearmatics BW6-761 target)."""
+import pytest
+
+from libsnark_tpu.proof_systems.compliance_predicate import (
+    TallyCompliancePredicate, PCDMessage, PCDLocalData)
+
+P = int("21888242871839275222246405745257275088"
+        "548364400416034343698204186575808495617")
+
+
+def test_tally_predicate():
+    cp = TallyCompliancePredicate(P, max_arity=2)
+    cp.generate_r1cs_constraints()
+    m1 = PCDMessage(type=1, payload=[10, 1])
+    m2 = PCDMessage(type=1, payload=[20, 2])
+    out = cp.generate_r1cs_witness([m1, m2], PCDLocalData(values=[5]))
+    assert out.payload == [35, 4]
+    assert cp.is_satisfied()
+    # converting to an r1cs keeps it satisfiable
+    cs = cp.get_constraint_system()
+    assert cs.is_satisfied(cp.pb.primary_input(), cp.pb.auxiliary_input())
+
+
+@pytest.mark.slow
+def test_one_layer_pcd_aggregation(bls377):
+    """Two trapdoor inner proofs of tally steps verified inside one
+    outer circuit over Fr(BW6-761)."""
+    from libsnark_tpu import get_curve
+    from libsnark_tpu.proof_systems.pcd import OneLayerPCD
+    from tests.test_verifier_gadget import _trapdoor_groth16
+    from libsnark_tpu.relations.examples import generate_r1cs_example
+
+    bw6 = get_curve("bw6_761")
+    pcd = OneLayerPCD(bls377, bw6)
+    # inner statement: a 1-input r1cs (stand-in for the compiled
+    # predicate step circuit)
+    cs, primary, aux = generate_r1cs_example(bls377.r, 4, 1)
+    vk, proof1 = _trapdoor_groth16(bls377, cs, primary, aux, seed=31)
+    _, proof2 = _trapdoor_groth16(bls377, cs, primary, aux, seed=31)
+
+    nbits = bls377.r.bit_length()
+    pb, bit_arrays, gadgets = pcd.build_aggregation_circuit(vk, 2, nbits)
+    ok = pcd.witness_aggregation(pb, bit_arrays, gadgets,
+                                 [primary[0], primary[0]],
+                                 [proof1, proof2])
+    assert ok
+    # corrupt the second inner input
+    ok2 = pcd.witness_aggregation(pb, bit_arrays, gadgets,
+                                  [primary[0], primary[0] + 1],
+                                  [proof1, proof2])
+    assert not ok2
