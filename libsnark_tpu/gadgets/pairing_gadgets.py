@@ -122,6 +122,61 @@ class G1Gadgets:
         return (_lc(rx), _lc(ry))
 
 
+class G2Gadgets:
+    """Affine arithmetic for G2 points over Fp2 (weierstrass_g2_gadget
+    parity): points = (x, y) pairs of Fp2 LC pairs; slopes witnessed via
+    the Fp2 gadget ops (non-exceptional cases)."""
+
+    def __init__(self, fp2, prefix="g2"):
+        self.fp2 = fp2
+        self.pb = fp2.pb
+        self.prefix = prefix
+
+    def const(self, Q):
+        f = self.fp2
+        return (f.const(Q.x), f.const(Q.y))
+
+    def neg(self, Q):
+        return (Q[0], self.fp2.neg(Q[1]))
+
+    def add(self, P, Q):
+        f = self.fp2
+        lam = f.mul(f.sub(Q[1], P[1]), f.inv(f.sub(Q[0], P[0])))
+        x3 = f.sub(f.sub(f.sqr(lam), P[0]), Q[0])
+        y3 = f.sub(f.mul(lam, f.sub(P[0], x3)), P[1])
+        return (x3, y3)
+
+    def dbl(self, P):
+        f = self.fp2
+        lam = f.mul(f.scale_int(f.sqr(P[0]), 3),
+                    f.inv(f.scale_int(P[1], 2)))
+        x3 = f.sub(f.sqr(lam), f.scale_int(P[0], 2))
+        y3 = f.sub(f.mul(lam, f.sub(P[0], x3)), P[1])
+        return (x3, y3)
+
+    def conditional_add_const(self, acc, bit, T_host):
+        """acc + bit * T for a constant host G2 point T."""
+        f = self.fp2
+        pb = self.pb
+        S = self.add(acc, self.const(T_host))
+        out = []
+        for coord_S, coord_acc in ((S[0], acc[0]), (S[1], acc[1])):
+            pair = []
+            for c in range(2):
+                v = f._var("m")
+                pb.add_r1cs_constraint(
+                    bit, coord_S[c] - coord_acc[c],
+                    LinearCombination(v) - coord_acc[c], "g2_cadd")
+
+                def wit(v=v, bit=bit, s=coord_S[c], a=coord_acc[c]):
+                    b = pb.lc_val(LinearCombination._coerce(bit))
+                    pb.setval(v, pb.lc_val(s) if b else pb.lc_val(a))
+                f._wq.append(wit)
+                pair.append(LinearCombination(v))
+            out.append(tuple(pair))
+        return tuple(out)
+
+
 class PairingGadgets:
     """Miller loop + final exponentiation for BLS12-377 inside a circuit
     over Fq(BLS12-377). G2 points are embedded into E(Fq12) coordinates

@@ -171,6 +171,49 @@ class Protoboard:
         return cs
 
 
+class ConstraintProfiler:
+    """Constraint-count profiling (reference gadgetlib1/
+    constraint_profiling.hpp:33-46 PROFILE_CONSTRAINTS /
+    PRINT_CONSTRAINT_PROFILING): scoped tallies of constraints added
+    per annotated block.
+
+        prof = ConstraintProfiler(pb)
+        with prof.scope("sha256"):
+            gadget.generate_r1cs_constraints()
+        prof.print_profiling()
+    """
+
+    def __init__(self, pb: "Protoboard"):
+        self.pb = pb
+        self.entries = []            # (depth, name, count)
+        self._stack = []
+
+    class _Scope:
+        def __init__(self, prof, name):
+            self.prof, self.name = prof, name
+
+        def __enter__(self):
+            self.start = self.prof.pb.num_constraints
+            self.prof._stack.append(self.name)
+            return self
+
+        def __exit__(self, *exc):
+            count = self.prof.pb.num_constraints - self.start
+            depth = len(self.prof._stack)
+            self.prof._stack.pop()
+            self.prof.entries.append((depth, self.name, count))
+            return False
+
+    def scope(self, name: str):
+        return self._Scope(self, name)
+
+    def print_profiling(self, out=None):
+        import sys
+        out = out or sys.stdout
+        for depth, name, count in self.entries:
+            out.write(f"{'  ' * depth}* {name}: {count} constraints\n")
+
+
 class Gadget:
     """Base gadget: (protoboard, annotation prefix); subclasses define
     generate_r1cs_constraints() and generate_r1cs_witness()

@@ -165,3 +165,33 @@ def test_protoboard_to_proof_system():
     proof = g16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(),
                        seed=8)
     assert g16.verifier_strong_IC(kp.vk, pb.primary_input(), proof)
+
+
+def test_gadget_from_r1cs():
+    """Wrap a compiled R1CS inside a larger circuit (reference
+    gadget_from_r1cs; the PCD cp_handler splice)."""
+    from libsnark_tpu.gadgets.gadget_from_r1cs import GadgetFromR1CS
+    from libsnark_tpu.relations.examples import generate_r1cs_example
+    cs, primary, aux = generate_r1cs_example(P, 6, 2)
+    pb = Protoboard(P)
+    block = PBVariableArray().allocate(pb, 2, "pub")
+    g = GadgetFromR1CS(pb, [block], cs, "wrap")
+    g.generate_r1cs_constraints()
+    g.generate_r1cs_witness(primary + aux)
+    assert pb.is_satisfied()
+    pb.setval(block[0], pb.val(block[0]) + 1)
+    assert not pb.is_satisfied()
+
+
+def test_constraint_profiler():
+    from libsnark_tpu.gadgets.protoboard import ConstraintProfiler
+    import io
+    pb = Protoboard(P)
+    prof = ConstraintProfiler(pb)
+    bits = PBVariableArray().allocate(pb, 8, "bits")
+    packed = PBVariable().allocate(pb, "packed")
+    with prof.scope("packing"):
+        PackingGadget(pb, bits, packed, "p").generate_r1cs_constraints(True)
+    buf = io.StringIO()
+    prof.print_profiling(buf)
+    assert "packing: 9 constraints" in buf.getvalue()
