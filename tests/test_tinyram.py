@@ -105,3 +105,30 @@ def test_fooram():
     acc, trace = ex.run(3)
     # acc: 0+3=3 -> pc 3; 3+5=8 -> pc 8; 8+2=10
     assert acc == 10 and len(trace) == 3
+
+
+def test_fooram_cpu_checker_gadget():
+    from libsnark_tpu.gadgets.protoboard import Protoboard, PBVariable
+    from libsnark_tpu.gadgets.fooram_checker import FooRAMCPUChecker
+    P = int("21888242871839275222246405745257275088"
+            "548364400416034343698204186575808495617")
+    ap = FooRAMParams(w=8)
+    ex = FooRAMExecutor(ap, {0: 3, 3: 250, 8: 2})
+    acc, trace = ex.run(2)
+    state_acc, state_pc = 0, 0
+    for ts, pc_after, acc_after, v in trace:
+        pb = Protoboard(P)
+        a0 = PBVariable().allocate(pb, "a0")
+        p0 = PBVariable().allocate(pb, "p0")
+        mv = PBVariable().allocate(pb, "mv")
+        a1 = PBVariable().allocate(pb, "a1")
+        p1 = PBVariable().allocate(pb, "p1")
+        g = FooRAMCPUChecker(pb, 8, a0, p0, mv, a1, p1)
+        g.generate_r1cs_constraints()
+        pb.setval(a0, state_acc)
+        pb.setval(p0, state_pc)
+        pb.setval(mv, v)
+        g.generate_r1cs_witness()
+        assert pb.val(a1) == acc_after and pb.val(p1) == pc_after
+        assert pb.is_satisfied()
+        state_acc, state_pc = acc_after, pc_after
