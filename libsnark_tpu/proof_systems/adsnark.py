@@ -278,10 +278,14 @@ class ADSNARK(PairingSystem):
         assignment_mont = jnp.asarray(self.fr.encode(full))
         msm_c = default_window_bits(nv + 1)
 
+        d_m = [jnp.asarray(self.fr.encode([d]))
+               for d in ((d1 + dauth) % r, d2, d3)]
+
         @jax.jit
-        def device_prove(assign_mont, Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
+        def device_prove(assign_mont, d1a_m, d2_m, d3_m,
+                         Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
             H = qap_witness_map_zk(dev, domain, assign_mont,
-                                   (d1 + dauth) % r, d2, d3)
+                                   d1a_m, d2_m, d3_m)
             H_plain = self.pad_to(self.fr.from_mont(H), Hq[0].shape[-1])
             assign_plain = self.fr.from_mont(assign_mont)
             # masks: aux-only (A), input-only w/o constant (Ain), full (B/C/K)
@@ -308,7 +312,8 @@ class ADSNARK(PairingSystem):
             return tuple(outs)
 
         (Ag_a, Ah_a, AinG_a, AinH_a, Bg_a, Bh_a, Cg_a, Ch_a, H_a,
-         K_a) = device_prove(assignment_mont, pk.A_query_g, pk.A_query_h,
+         K_a) = device_prove(assignment_mont, d_m[0], d_m[1], d_m[2],
+                             pk.A_query_g, pk.A_query_h,
                              pk.B_query_g, pk.B_query_h, pk.C_query_g,
                              pk.C_query_h, pk.H_query, pk.K_query)
 

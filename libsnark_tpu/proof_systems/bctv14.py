@@ -146,9 +146,13 @@ class BCTV14(PairingSystem):
         assignment_mont = jnp.asarray(self.fr.encode(full))
         msm_c = default_window_bits(nv + 1)
 
+        d_m = [jnp.asarray(self.fr.encode([d])) for d in (d1, d2, d3)]
+
         @jax.jit
-        def device_prove(assign_mont, Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
-            H = qap_witness_map_zk(dev, domain, assign_mont, d1, d2, d3)
+        def device_prove(assign_mont, d1_m, d2_m, d3_m,
+                         Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
+            H = qap_witness_map_zk(dev, domain, assign_mont,
+                                   d1_m, d2_m, d3_m)
             H_plain = self.pad_to(self.fr.from_mont(H), Hq[0].shape[-1])
             assign_plain = self.fr.from_mont(assign_mont)
             # padded scalars: lanes beyond nv (the Zt slots and bucket
@@ -167,7 +171,8 @@ class BCTV14(PairingSystem):
             return tuple(outs)
 
         Ag_a, Ah_a, Bg_a, Bh_a, Cg_a, Ch_a, H_a, K_a = device_prove(
-            assignment_mont, pk.A_query_g, pk.A_query_h, pk.B_query_g,
+            assignment_mont, d_m[0], d_m[1], d_m[2],
+            pk.A_query_g, pk.A_query_h, pk.B_query_g,
             pk.B_query_h, pk.C_query_g, pk.C_query_h, pk.H_query, pk.K_query)
 
         dec1, dec2 = self.decode_g1, self.decode_g2

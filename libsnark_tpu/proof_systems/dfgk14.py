@@ -112,9 +112,11 @@ class DFGK14(PairingSystem):
         assignment_mont = jnp.asarray(self.fr.encode(full))
         msm_c = default_window_bits(nv + 2)
 
+        d_m = jnp.asarray(self.fr.encode([d]))
+
         @jax.jit
-        def device_prove(assign_mont, V1_q, aV1_q, H_q, V2_q):
-            H = ssp_witness_map(dev, domain, assign_mont, d)
+        def device_prove(assign_mont, d_m, V1_q, aV1_q, H_q, V2_q):
+            H = ssp_witness_map(dev, domain, assign_mont, d_m)
             H_plain = self.pad_to(self.fr.from_mont(H), H_q[0].shape[-1])
             assign_plain = self.fr.from_mont(assign_mont)
             # V_g1 / alpha_V_g1: query vars k+1..nv; the trailing Zt entry
@@ -130,7 +132,7 @@ class DFGK14(PairingSystem):
                     self.g1.to_affine(Hq), self.g2.to_affine(V2))
 
         V1_a, aV1_a, H_a, V2_a = device_prove(
-            assignment_mont, pk.V_g1_query, pk.alpha_V_g1_query,
+            assignment_mont, d_m, pk.V_g1_query, pk.alpha_V_g1_query,
             pk.H_g1_query, pk.V_g2_query)
         V1_m, aV1_m, H_m = (self.decode_g1(V1_a), self.decode_g1(aV1_a),
                             self.decode_g1(H_a))

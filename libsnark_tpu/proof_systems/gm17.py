@@ -131,10 +131,14 @@ class GM17(PairingSystem):
         k = dev.num_inputs
         msm_c = default_window_bits(dev.sap_num_variables + 1)
 
+        d1_m = jnp.asarray(self.fr.encode([d1]))
+        d2_m = jnp.asarray(self.fr.encode([d2]))
+
         @jax.jit
-        def device_prove(assign_mont, A_q, B_q, C1_q, C2_q, Gzt_q):
+        def device_prove(assign_mont, d1_m, d2_m, A_q, B_q, C1_q, C2_q,
+                         Gzt_q):
             ext = sap_extend_assignment(dev, self.fr, assign_mont)
-            H = sap_witness_map(dev, domain, ext, d1, d2)
+            H = sap_witness_map(dev, domain, ext, d1_m, d2_m)
             H_plain = self.pad_to(self.fr.from_mont(H), Gzt_q[0].shape[-1])
             ext_plain = self.fr.from_mont(ext)
             full = self.pad_to(ext_plain, A_q[0].shape[-1])
@@ -149,8 +153,8 @@ class GM17(PairingSystem):
                     self.g1.to_affine(Hq))
 
         A_a, B_a, C1_a, C2_a, H_a = device_prove(
-            assignment_mont, pk.A_query, pk.B_query, pk.C_query_1,
-            pk.C_query_2, pk.G_gamma2_Z_t)
+            assignment_mont, d1_m, d2_m, pk.A_query, pk.B_query,
+            pk.C_query_1, pk.C_query_2, pk.G_gamma2_Z_t)
         A_m, C1_m, C2_m, H_m = (self.decode_g1(A_a), self.decode_g1(C1_a),
                                 self.decode_g1(C2_a), self.decode_g1(H_a))
         B_m = self.decode_g2(B_a)

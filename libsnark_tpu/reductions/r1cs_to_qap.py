@@ -102,17 +102,19 @@ def qap_witness_map(r1cs_dev, domain, assignment_mont):
     return domain.icoset_fft(H)
 
 
-def qap_witness_map_zk(r1cs_dev, domain, assignment_mont,
-                       d1: int, d2: int, d3: int):
+def qap_witness_map_zk(r1cs_dev, domain, assignment_mont, d1_m, d2_m, d3_m):
     """ZK-patched witness map (reference r1cs_to_qap.tcc:209-344 with
     nonzero d1/d2/d3): coefficients of
 
       H = (A*B - C)/Z + (d2*A + d1*B - d3) + d1*d2*Z
 
-    Returns (N, m+1) Montgomery limbs (degree m; top coeff = d1*d2).
-    Used by BCTV14; Groth16 passes zeros via ``qap_witness_map``."""
+    d1_m/d2_m/d3_m: (N, 1) Montgomery limb arrays -- DEVICE OPERANDS, so
+    the surrounding jit compiles once and every proof reuses the
+    executable with fresh randomness. Returns (N, m+1) Montgomery limbs
+    (degree m; top coeff = d1*d2). Used by BCTV14/ADSNARK; Groth16
+    passes zeros via ``qap_witness_map``."""
     fk = domain.fk
-    p, m = domain.p, domain.m
+    m = domain.m
     n = r1cs_dev.num_constraints
     k = r1cs_dev.num_inputs
 
@@ -123,7 +125,8 @@ def qap_witness_map_zk(r1cs_dev, domain, assignment_mont,
         axis=-1)
     cA = domain.ifft(aA)
     cB = domain.ifft(aB)
-    patch = fk.add(fk.mul_small(cA, d2 % p), fk.mul_small(cB, d1 % p))
+    bcast = lambda d, ref: jnp.broadcast_to(d, ref.shape)
+    patch = fk.add(fk.mul(cA, bcast(d2_m, cA)), fk.mul(cB, bcast(d1_m, cB)))
     eA = domain.coset_fft(cA)
     eB = domain.coset_fft(cB)
     H = fk.mul(eA, eB)
@@ -134,9 +137,8 @@ def qap_witness_map_zk(r1cs_dev, domain, assignment_mont,
     Hc = domain.icoset_fft(H)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
-    d1d2 = d1 * d2 % p
-    c0 = jnp.asarray(fk.encode_scalar((-d3 - d1d2) % p))
-    cm = jnp.asarray(fk.encode_scalar(d1d2))
-    out = out.at[..., 0].set(fk.add(out[..., 0], c0))
-    out = out.at[..., m].set(fk.add(out[..., m], cm))
+    d1d2 = fk.mul(d1_m, d2_m)                      # (N, 1)
+    c0 = fk.neg(fk.add(d3_m, d1d2))
+    out = out.at[..., 0].set(fk.add(out[..., 0], c0[..., 0]))
+    out = out.at[..., m].set(fk.add(out[..., m], d1d2[..., 0]))
     return out

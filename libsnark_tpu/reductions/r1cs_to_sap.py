@@ -141,19 +141,19 @@ def sap_extend_assignment(dev: SAPDevice, fk, assignment_mont):
     return jnp.concatenate([assignment_mont, extra1], axis=-1)
 
 
-def sap_witness_map(dev: SAPDevice, domain, sap_assign_mont,
-                    d1: int = 0, d2: int = 0):
+def sap_witness_map(dev: SAPDevice, domain, sap_assign_mont, d1_m, d2_m):
     """Coefficients of H = (A^2 - C)/Z + (2 d1 A - d2 + d1^2 Z), device.
 
-    Returns (N, m+1) Montgomery limbs (reference tcc:297-466 pipeline:
-    matvec, iFFT, ZK-patch, cosetFFT, square, subtract C coset, /Z,
-    icosetFFT, add patch)."""
+    d1_m/d2_m: (N, 1) Montgomery limb DEVICE operands (one compile per
+    circuit shape, fresh randomness per proof). Returns (N, m+1)
+    Montgomery limbs (reference tcc:297-466 pipeline: matvec, iFFT,
+    ZK-patch, cosetFFT, square, subtract C coset, /Z, icosetFFT)."""
     fk = domain.fk
-    p = domain.p
     m = domain.m
     aA = dev.A.evaluate(fk, sap_assign_mont, m)
     cA = domain.ifft(aA)
-    patch = fk.mul_small(cA, 2 * d1 % p)           # 2 d1 A coefficients
+    two_d1 = fk.add(d1_m, d1_m)
+    patch = fk.mul(cA, jnp.broadcast_to(two_d1, cA.shape))
     eA = domain.coset_fft(cA)
     H = fk.mul(eA, eA)
     aC = dev.C.evaluate(fk, sap_assign_mont, m)
@@ -164,9 +164,8 @@ def sap_witness_map(dev: SAPDevice, domain, sap_assign_mont,
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     # (- d2 - d1^2) at coeff 0;  + d1^2 at coeff m
-    d1sq = d1 * d1 % p
-    c0 = jnp.asarray(fk.encode_scalar((-d2 - d1sq) % p))
-    cm = jnp.asarray(fk.encode_scalar(d1sq))
-    out = out.at[..., 0].set(fk.add(out[..., 0], c0))
-    out = out.at[..., m].set(fk.add(out[..., m], cm))
+    d1sq = fk.mul(d1_m, d1_m)
+    c0 = fk.neg(fk.add(d2_m, d1sq))
+    out = out.at[..., 0].set(fk.add(out[..., 0], c0[..., 0]))
+    out = out.at[..., m].set(fk.add(out[..., m], d1sq[..., 0]))
     return out

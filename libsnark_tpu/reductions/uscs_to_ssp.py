@@ -70,22 +70,23 @@ class SSPDevice:
                    num_variables=cs.num_variables, p=cs.p)
 
 
-def ssp_witness_map(dev: SSPDevice, domain, assignment_mont, d: int = 0):
-    """Coefficients of H = (V^2 - 1)/Z + (2 d V + d^2 Z), (N, m+1)."""
+def ssp_witness_map(dev: SSPDevice, domain, assignment_mont, d_m):
+    """Coefficients of H = (V^2 - 1)/Z + (2 d V + d^2 Z), (N, m+1).
+
+    d_m: (N, 1) Montgomery limb DEVICE operand (no retrace per proof)."""
     fk = domain.fk
-    p, m = domain.p, domain.m
+    m = domain.m
     aV = dev.V.evaluate(fk, assignment_mont, m)
     cV = domain.ifft(aV)
-    patch = fk.mul_small(cV, 2 * d % p)
+    two_d = fk.add(d_m, d_m)
+    patch = fk.mul(cV, jnp.broadcast_to(two_d, cV.shape))
     eV = domain.coset_fft(cV)
     H = fk.sub(fk.mul(eV, eV), fk.one(eV.shape[1:]))
     H = domain.divide_by_z_on_coset(H)
     Hc = domain.icoset_fft(H)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
-    dsq = d * d % p
-    c0 = jnp.asarray(fk.encode_scalar((-dsq) % p))
-    cm = jnp.asarray(fk.encode_scalar(dsq))
-    out = out.at[..., 0].set(fk.add(out[..., 0], c0))
-    out = out.at[..., m].set(fk.add(out[..., m], cm))
+    dsq = fk.mul(d_m, d_m)
+    out = out.at[..., 0].set(fk.add(out[..., 0], fk.neg(dsq)[..., 0]))
+    out = out.at[..., m].set(fk.add(out[..., m], dsq[..., 0]))
     return out

@@ -34,7 +34,9 @@ def test_sap_reduction_satisfied(bn254):
     am = jnp.asarray(fr.encode(full))
     ext = sap_extend_assignment(dev, fr, am)
     d1, d2 = 12345, 67890
-    H = sap_witness_map(dev, domain, ext, d1, d2)
+    H = sap_witness_map(dev, domain, ext,
+                        jnp.asarray(fr.encode([d1])),
+                        jnp.asarray(fr.encode([d2])))
     H_vals = [int(v) for v in fr.decode(H)]
     ext_vals = [int(v) for v in fr.decode(ext)]
     wit = SAPWitness(d1=d1, d2=d2, num_inputs=cs.num_inputs,
@@ -64,7 +66,7 @@ def test_ssp_reduction_satisfied(bn254):
     full = [1] + primary + aux
     am = jnp.asarray(fr.encode(full))
     d = 424242
-    H = ssp_witness_map(dev, domain, am, d)
+    H = ssp_witness_map(dev, domain, am, jnp.asarray(fr.encode([d])))
     H_vals = [int(v) for v in fr.decode(H)]
     # Vt in the instance evaluation has nv+1 entries; the witness check
     # uses them directly
