@@ -281,41 +281,40 @@ class ADSNARK(PairingSystem):
         d_m = [jnp.asarray(self.fr.encode([d]))
                for d in ((d1 + dauth) % r, d2, d3)]
 
-        @jax.jit
-        def device_prove(assign_mont, d1a_m, d2_m, d3_m,
-                         Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
-            H = qap_witness_map_zk(dev, domain, assign_mont,
-                                   d1a_m, d2_m, d3_m)
-            H_plain = self.pad_to(self.fr.from_mont(H), Hq[0].shape[-1])
-            assign_plain = self.fr.from_mont(assign_mont)
-            # masks: aux-only (A), input-only w/o constant (Ain), full (B/C/K)
-            zero = jnp.zeros_like(assign_plain)
-            aux_only = zero.at[..., k + 1:].set(assign_plain[..., k + 1:])
-            in_only = zero.at[..., 1: k + 1].set(assign_plain[..., 1: k + 1])
-            full_p = self.pad_to(assign_plain, Ag[0].shape[-1])
-            aux_p = self.pad_to(aux_only, Ag[0].shape[-1])
-            in_p = self.pad_to(in_only, Ag[0].shape[-1])
-            outs = []
-            for q, sc, mk in ((Ag, aux_p, self.msm_g1),
-                              (Ah, aux_p, self.msm_g1),
-                              (Ag, in_p, self.msm_g1),
-                              (Ah, in_p, self.msm_g1),
-                              (Bg, full_p, self.msm_g2),
-                              (Bh, full_p, self.msm_g1),
-                              (Cg, full_p, self.msm_g1),
-                              (Ch, full_p, self.msm_g1)):
-                outs.append(mk.ck.to_affine(mk.msm(q, sc, msm_c)))
-            outs.append(self.g1.to_affine(
-                self.msm_g1.msm(Hq, H_plain, msm_c)))
-            outs.append(self.g1.to_affine(self.msm_g1.msm(
-                Kq, self.pad_to(assign_plain, Kq[0].shape[-1]), msm_c)))
-            return tuple(outs)
+        wm = getattr(pk, "_wm_jit", None)
+        if wm is None:
+            def wm_fn(assign_mont, d1a_m, d2_m, d3_m):
+                H = qap_witness_map_zk(dev, domain, assign_mont,
+                                       d1a_m, d2_m, d3_m)
+                H_plain = self.pad_to(self.fr.from_mont(H),
+                                      pk.H_query[0].shape[-1])
+                assign_plain = self.fr.from_mont(assign_mont)
+                # masks: aux-only (A), input-only minus constant (Ain),
+                # full (B/C/K)
+                zero = jnp.zeros_like(assign_plain)
+                aux_only = zero.at[..., k + 1:].set(
+                    assign_plain[..., k + 1:])
+                in_only = zero.at[..., 1: k + 1].set(
+                    assign_plain[..., 1: k + 1])
+                w = pk.A_query_g[0].shape[-1]
+                return (H_plain, self.pad_to(assign_plain, w),
+                        self.pad_to(aux_only, w), self.pad_to(in_only, w),
+                        self.pad_to(assign_plain,
+                                    pk.K_query[0].shape[-1]))
+            wm = pk._wm_jit = jax.jit(wm_fn)
 
-        (Ag_a, Ah_a, AinG_a, AinH_a, Bg_a, Bh_a, Cg_a, Ch_a, H_a,
-         K_a) = device_prove(assignment_mont, d_m[0], d_m[1], d_m[2],
-                             pk.A_query_g, pk.A_query_h,
-                             pk.B_query_g, pk.B_query_h, pk.C_query_g,
-                             pk.C_query_h, pk.H_query, pk.K_query)
+        H_plain, full_p, aux_p, in_p, kfull_p = wm(
+            assignment_mont, d_m[0], d_m[1], d_m[2])
+        Ag_a = self.msm_affine("g1", pk.A_query_g, aux_p, msm_c)
+        Ah_a = self.msm_affine("g1", pk.A_query_h, aux_p, msm_c)
+        AinG_a = self.msm_affine("g1", pk.A_query_g, in_p, msm_c)
+        AinH_a = self.msm_affine("g1", pk.A_query_h, in_p, msm_c)
+        Bg_a = self.msm_affine("g2", pk.B_query_g, full_p, msm_c)
+        Bh_a = self.msm_affine("g1", pk.B_query_h, full_p, msm_c)
+        Cg_a = self.msm_affine("g1", pk.C_query_g, full_p, msm_c)
+        Ch_a = self.msm_affine("g1", pk.C_query_h, full_p, msm_c)
+        H_a = self.msm_affine("g1", pk.H_query, H_plain, msm_c)
+        K_a = self.msm_affine("g1", pk.K_query, kfull_p, msm_c)
 
         dec1, dec2 = self.decode_g1, self.decode_g2
         zt = nv + 1

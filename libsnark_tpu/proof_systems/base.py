@@ -97,6 +97,25 @@ class PairingSystem:
         sc = self.scalars_to_dev(scalars)
         return build(baff[0], baff[1], sc)
 
+    # -- cached jitted MSM dispatch ------------------------------------------
+    # One jitted wrapper per (group, window); XLA then caches one
+    # executable per operand SHAPE, so every same-bucket query across all
+    # proof systems reuses the same compiled MSM. Keeping each MSM its
+    # own program (instead of fusing all queries into one giant jit) also
+    # keeps every compile in the size class the compile service handles.
+    def msm_affine(self, which: str, q, scalars, c: int):
+        cache = getattr(self, "_msm_jits", None)
+        if cache is None:
+            cache = self._msm_jits = {}
+        key = (which, c)
+        if key not in cache:
+            mk = self.msm_g1 if which == "g1" else self.msm_g2
+            ck = mk.ck
+            import jax as _jax
+            cache[key] = _jax.jit(
+                lambda q, s, mk=mk, ck=ck: ck.to_affine(mk.msm(q, s, c)))
+        return cache[key](q, scalars)
+
     def decode_g1(self, aff, lane=0):
         return self._decode_affine(self.g1, aff, self.curve.G1, lane)
 

@@ -148,32 +148,31 @@ class BCTV14(PairingSystem):
 
         d_m = [jnp.asarray(self.fr.encode([d])) for d in (d1, d2, d3)]
 
-        @jax.jit
-        def device_prove(assign_mont, d1_m, d2_m, d3_m,
-                         Ag, Ah, Bg, Bh, Cg, Ch, Hq, Kq):
-            H = qap_witness_map_zk(dev, domain, assign_mont,
-                                   d1_m, d2_m, d3_m)
-            H_plain = self.pad_to(self.fr.from_mont(H), Hq[0].shape[-1])
-            assign_plain = self.fr.from_mont(assign_mont)
-            # padded scalars: lanes beyond nv (the Zt slots and bucket
-            # padding) get scalar zero; the d_i * Zt terms are added on host
-            full = self.pad_to(assign_plain, Ag[0].shape[-1])
-            outs = []
-            for q, mk in ((Ag, self.msm_g1), (Ah, self.msm_g1),
-                          (Bg, self.msm_g2), (Bh, self.msm_g1),
-                          (Cg, self.msm_g1), (Ch, self.msm_g1)):
-                outs.append(mk.ck.to_affine(mk.msm(q, full, msm_c)))
-            outs.append(self.g1.to_affine(
-                self.msm_g1.msm(Hq, H_plain, msm_c)))
-            outs.append(self.g1.to_affine(
-                self.msm_g1.msm(Kq, self.pad_to(assign_plain,
-                                                Kq[0].shape[-1]), msm_c)))
-            return tuple(outs)
+        wm = getattr(pk, "_wm_jit", None)
+        if wm is None:
+            def wm_fn(assign_mont, d1_m, d2_m, d3_m):
+                H = qap_witness_map_zk(dev, domain, assign_mont,
+                                       d1_m, d2_m, d3_m)
+                H_plain = self.pad_to(self.fr.from_mont(H),
+                                      pk.H_query[0].shape[-1])
+                assign_plain = self.fr.from_mont(assign_mont)
+                # padded scalars: lanes beyond nv (the Zt slots and bucket
+                # padding) get zero; the d_i * Zt terms are added on host
+                full = self.pad_to(assign_plain, pk.A_query_g[0].shape[-1])
+                kfull = self.pad_to(assign_plain, pk.K_query[0].shape[-1])
+                return H_plain, full, kfull
+            wm = pk._wm_jit = jax.jit(wm_fn)
 
-        Ag_a, Ah_a, Bg_a, Bh_a, Cg_a, Ch_a, H_a, K_a = device_prove(
-            assignment_mont, d_m[0], d_m[1], d_m[2],
-            pk.A_query_g, pk.A_query_h, pk.B_query_g,
-            pk.B_query_h, pk.C_query_g, pk.C_query_h, pk.H_query, pk.K_query)
+        H_plain, full_p, kfull_p = wm(assignment_mont, d_m[0], d_m[1],
+                                      d_m[2])
+        Ag_a = self.msm_affine("g1", pk.A_query_g, full_p, msm_c)
+        Ah_a = self.msm_affine("g1", pk.A_query_h, full_p, msm_c)
+        Bg_a = self.msm_affine("g2", pk.B_query_g, full_p, msm_c)
+        Bh_a = self.msm_affine("g1", pk.B_query_h, full_p, msm_c)
+        Cg_a = self.msm_affine("g1", pk.C_query_g, full_p, msm_c)
+        Ch_a = self.msm_affine("g1", pk.C_query_h, full_p, msm_c)
+        H_a = self.msm_affine("g1", pk.H_query, H_plain, msm_c)
+        K_a = self.msm_affine("g1", pk.K_query, kfull_p, msm_c)
 
         dec1, dec2 = self.decode_g1, self.decode_g2
         zt = nv + 1   # logical index of the Zt entry (queries are padded)

@@ -114,26 +114,26 @@ class DFGK14(PairingSystem):
 
         d_m = jnp.asarray(self.fr.encode([d]))
 
-        @jax.jit
-        def device_prove(assign_mont, d_m, V1_q, aV1_q, H_q, V2_q):
-            H = ssp_witness_map(dev, domain, assign_mont, d_m)
-            H_plain = self.pad_to(self.fr.from_mont(H), H_q[0].shape[-1])
-            assign_plain = self.fr.from_mont(assign_mont)
-            # V_g1 / alpha_V_g1: query vars k+1..nv; the trailing Zt entry
-            # (ZK-patch) and pad lanes get scalar zero, d*Zt added on host
-            wit = self.pad_to(assign_plain[..., k + 1:], V1_q[0].shape[-1])
-            full = self.pad_to(assign_plain, V2_q[0].shape[-1])
-            V1 = self.msm_g1.msm(V1_q, wit, msm_c)
-            aV1 = self.msm_g1.msm(aV1_q, wit, msm_c)
-            Hq = self.msm_g1.msm(H_q, H_plain, msm_c)
-            # V_g2 over vars 0..nv (constant included; Zt entry on host)
-            V2 = self.msm_g2.msm(V2_q, full, msm_c)
-            return (self.g1.to_affine(V1), self.g1.to_affine(aV1),
-                    self.g1.to_affine(Hq), self.g2.to_affine(V2))
+        wm = getattr(pk, "_wm_jit", None)
+        if wm is None:
+            def wm_fn(assign_mont, d_m):
+                H = ssp_witness_map(dev, domain, assign_mont, d_m)
+                H_plain = self.pad_to(self.fr.from_mont(H),
+                                      pk.H_g1_query[0].shape[-1])
+                assign_plain = self.fr.from_mont(assign_mont)
+                # V_g1 / alpha_V_g1: query vars k+1..nv; the trailing Zt
+                # entry (ZK-patch) and pad lanes get scalar zero
+                wit = self.pad_to(assign_plain[..., k + 1:],
+                                  pk.V_g1_query[0].shape[-1])
+                full = self.pad_to(assign_plain, pk.V_g2_query[0].shape[-1])
+                return H_plain, wit, full
+            wm = pk._wm_jit = jax.jit(wm_fn)
 
-        V1_a, aV1_a, H_a, V2_a = device_prove(
-            assignment_mont, d_m, pk.V_g1_query, pk.alpha_V_g1_query,
-            pk.H_g1_query, pk.V_g2_query)
+        H_plain, wit_p, full_p = wm(assignment_mont, d_m)
+        V1_a = self.msm_affine("g1", pk.V_g1_query, wit_p, msm_c)
+        aV1_a = self.msm_affine("g1", pk.alpha_V_g1_query, wit_p, msm_c)
+        H_a = self.msm_affine("g1", pk.H_g1_query, H_plain, msm_c)
+        V2_a = self.msm_affine("g2", pk.V_g2_query, full_p, msm_c)
         V1_m, aV1_m, H_m = (self.decode_g1(V1_a), self.decode_g1(aV1_a),
                             self.decode_g1(H_a))
         V2_m = self.decode_g2(V2_a)

@@ -134,27 +134,26 @@ class GM17(PairingSystem):
         d1_m = jnp.asarray(self.fr.encode([d1]))
         d2_m = jnp.asarray(self.fr.encode([d2]))
 
-        @jax.jit
-        def device_prove(assign_mont, d1_m, d2_m, A_q, B_q, C1_q, C2_q,
-                         Gzt_q):
-            ext = sap_extend_assignment(dev, self.fr, assign_mont)
-            H = sap_witness_map(dev, domain, ext, d1_m, d2_m)
-            H_plain = self.pad_to(self.fr.from_mont(H), Gzt_q[0].shape[-1])
-            ext_plain = self.fr.from_mont(ext)
-            full = self.pad_to(ext_plain, A_q[0].shape[-1])
-            wit = self.pad_to(ext_plain[..., k + 1:], C1_q[0].shape[-1])
-            A = self.msm_g1.msm(A_q, full, msm_c)
-            B = self.msm_g2.msm(B_q, full, msm_c)
-            C1 = self.msm_g1.msm(C1_q, wit, msm_c)
-            C2 = self.msm_g1.msm(C2_q, full, msm_c)
-            Hq = self.msm_g1.msm(Gzt_q, H_plain, msm_c)
-            return (self.g1.to_affine(A), self.g2.to_affine(B),
-                    self.g1.to_affine(C1), self.g1.to_affine(C2),
-                    self.g1.to_affine(Hq))
+        wm = getattr(pk, "_wm_jit", None)
+        if wm is None:
+            def wm_fn(assign_mont, d1_m, d2_m):
+                ext = sap_extend_assignment(dev, self.fr, assign_mont)
+                H = sap_witness_map(dev, domain, ext, d1_m, d2_m)
+                H_plain = self.pad_to(self.fr.from_mont(H),
+                                      pk.G_gamma2_Z_t[0].shape[-1])
+                ext_plain = self.fr.from_mont(ext)
+                full = self.pad_to(ext_plain, pk.A_query[0].shape[-1])
+                wit = self.pad_to(ext_plain[..., k + 1:],
+                                  pk.C_query_1[0].shape[-1])
+                return H_plain, full, wit
+            wm = pk._wm_jit = jax.jit(wm_fn)
 
-        A_a, B_a, C1_a, C2_a, H_a = device_prove(
-            assignment_mont, d1_m, d2_m, pk.A_query, pk.B_query,
-            pk.C_query_1, pk.C_query_2, pk.G_gamma2_Z_t)
+        H_plain, full_p, wit_p = wm(assignment_mont, d1_m, d2_m)
+        A_a = self.msm_affine("g1", pk.A_query, full_p, msm_c)
+        B_a = self.msm_affine("g2", pk.B_query, full_p, msm_c)
+        C1_a = self.msm_affine("g1", pk.C_query_1, wit_p, msm_c)
+        C2_a = self.msm_affine("g1", pk.C_query_2, full_p, msm_c)
+        H_a = self.msm_affine("g1", pk.G_gamma2_Z_t, H_plain, msm_c)
         A_m, C1_m, C2_m, H_m = (self.decode_g1(A_a), self.decode_g1(C1_a),
                                 self.decode_g1(C2_a), self.decode_g1(H_a))
         B_m = self.decode_g2(B_a)

@@ -163,27 +163,30 @@ class Groth16(PairingSystem):
 
         msm_c = default_window_bits(dev.num_variables + 1)
 
-        @jax.jit
-        def device_prove(assign_mont, A_q, B_q2, B_q1, H_q, L_q):
-            H = qap_witness_map(dev, domain, assign_mont)      # (N, m) mont
-            H_plain = self.pad_to(
-                self.fr.from_mont(H)[..., : domain.m - 1], H_q[0].shape[-1])
-            assign_plain = self.fr.from_mont(assign_mont)
-            full = self.pad_to(assign_plain, A_q[0].shape[-1])
-            aux_plain = self.pad_to(assign_plain[..., dev.num_inputs + 1:],
-                                    L_q[0].shape[-1])
-            At = self.msm_g1.msm(A_q, full, msm_c)
-            Bt2 = self.msm_g2.msm(B_q2, full, msm_c)
-            Bt1 = self.msm_g1.msm(B_q1, full, msm_c)
-            Ht = self.msm_g1.msm(H_q, H_plain, msm_c)
-            Lt = self.msm_g1.msm(L_q, aux_plain, msm_c)
-            return (self.g1.to_affine(At), self.g2.to_affine(Bt2),
-                    self.g1.to_affine(Bt1), self.g1.to_affine(Ht),
-                    self.g1.to_affine(Lt))
+        # witness map as its own program; each MSM as a sibling program
+        # (shared compile cache across queries/systems, and every compile
+        # stays in the size class the compile service handles)
+        wm = getattr(pk, "_wm_jit", None)
+        if wm is None:
+            def wm_fn(assign_mont):
+                H = qap_witness_map(dev, domain, assign_mont)  # (N, m) mont
+                H_plain = self.pad_to(
+                    self.fr.from_mont(H)[..., : domain.m - 1],
+                    pk.H_query[0].shape[-1])
+                assign_plain = self.fr.from_mont(assign_mont)
+                full = self.pad_to(assign_plain, pk.A_query[0].shape[-1])
+                aux_plain = self.pad_to(
+                    assign_plain[..., dev.num_inputs + 1:],
+                    pk.L_query[0].shape[-1])
+                return H_plain, full, aux_plain
+            wm = pk._wm_jit = jax.jit(wm_fn)
 
-        At_a, Bt2_a, Bt1_a, Ht_a, Lt_a = device_prove(
-            assignment_mont, pk.A_query, pk.B_query_g2, pk.B_query_g1,
-            pk.H_query, pk.L_query)
+        H_plain, full_p, aux_plain = wm(assignment_mont)
+        At_a = self.msm_affine("g1", pk.A_query, full_p, msm_c)
+        Bt2_a = self.msm_affine("g2", pk.B_query_g2, full_p, msm_c)
+        Bt1_a = self.msm_affine("g1", pk.B_query_g1, full_p, msm_c)
+        Ht_a = self.msm_affine("g1", pk.H_query, H_plain, msm_c)
+        Lt_a = self.msm_affine("g1", pk.L_query, aux_plain, msm_c)
 
         dec1, dec2 = self.decode_g1, self.decode_g2
         At, Bt1, Ht, Lt = dec1(At_a), dec1(Bt1_a), dec1(Ht_a), dec1(Lt_a)
