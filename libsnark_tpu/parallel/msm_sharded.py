@@ -56,9 +56,16 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
             d += 1
         return acc
 
-    f = shard_map(local, mesh=mesh, in_specs=in_specs,
-                  out_specs=_replicated_specs(points_aff),
-                  check_rep=False)
+    # jax renamed check_rep -> check_vma; support both (the axon-patched
+    # shard_map still uses the old name)
+    try:
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=_replicated_specs(points_aff),
+                      check_vma=False)
+    except TypeError:
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=_replicated_specs(points_aff),
+                      check_rep=False)
     S_total = f(points_aff, scalars)
     return msm_kernel.combine_windows(S_total, c)
 
