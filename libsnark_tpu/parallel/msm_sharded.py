@@ -43,9 +43,12 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
 
     def local(pts, sc):
         S = msm_kernel.window_sums(pts, sc, c)      # (W, ..coords.., 1)
+        # kernels expect limbs leading / batch trailing: move the window
+        # axis into the batch position for the cross-device adds
+        S = tuple(jnp.moveaxis(a, 0, -2) for a in S)   # (.., W, 1)
         # gather per-device window sums and tree-add locally
         def gath(a):
-            return jax.lax.all_gather(a, axis)      # (D, W, ..., 1)
+            return jax.lax.all_gather(a, axis)      # (D, .., W, 1)
         G = tuple(gath(a) for a in S)
         D = G[0].shape[0]
         acc = tuple(a[0] for a in G)
@@ -54,7 +57,8 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
             other = tuple(a[d] for a in G)
             acc = ck.add(acc, other)
             d += 1
-        return acc
+        # back to window-leading for the Horner combine
+        return tuple(jnp.moveaxis(a, -2, 0) for a in acc)
 
     # jax renamed check_rep -> check_vma; support both (the axon-patched
     # shard_map still uses the old name)
