@@ -7,6 +7,16 @@ through bench.py on hardware.
 import os
 
 # Must run before jax is imported anywhere.
+# Strip the axon TPU-tunnel environment entirely: with it present, even
+# JAX_PLATFORMS=cpu routes compiles through a remote compile service
+# whose connections can hang indefinitely (see
+# .claude/skills/verify/SKILL.md). Vanilla local jax-cpu is slower to
+# compile but reliable, and honors the virtual-device flag.
+for _v in ("AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
+           "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+           "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
+           "_AXON_REGISTERED"):
+    os.environ.pop(_v, None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -15,7 +25,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# cache namespace for the VANILLA local cpu backend (axon-env runs used
+# .jax_cache; keep them separate)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_local")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
