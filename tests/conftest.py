@@ -6,17 +6,15 @@ through bench.py on hardware.
 """
 import os
 
-# Must run before jax is imported anywhere.
-# Strip the axon TPU-tunnel environment entirely: with it present, even
-# JAX_PLATFORMS=cpu routes compiles through a remote compile service
-# whose connections can hang indefinitely (see
-# .claude/skills/verify/SKILL.md). Vanilla local jax-cpu is slower to
-# compile but reliable, and honors the virtual-device flag.
-for _v in ("AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
-           "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
-           "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
-           "_AXON_REGISTERED"):
-    os.environ.pop(_v, None)
+# Must run before first jax backend init.
+# NB: when the axon TPU-tunnel env is present at INTERPRETER START the
+# sitecustomize hook configures itself from it; stripping vars here
+# (after interpreter start) half-breaks it. To run on the vanilla local
+# cpu backend instead, strip the env at process LAUNCH:
+#   env -u AXON_LOOPBACK_RELAY -u PALLAS_AXON_TPU_GEN \
+#       -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE \
+#       -u AXON_POOL_SVC_OVERRIDE -u PJRT_LIBRARY_PATH python -m pytest ...
+# (see .claude/skills/verify/SKILL.md).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -25,9 +23,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-# cache namespace for the VANILLA local cpu backend (axon-env runs used
-# .jax_cache; keep them separate)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_local")
+import sys as _sys
+
+# cache namespace depends on which cpu backend we actually got: the
+# axon-wrapped one (.jax_cache) or the vanilla local one
+# (.jax_cache_local, when launched with the axon env stripped)
+_cache = ("/root/repo/.jax_cache"
+          if any(k.startswith("AXON") or k.startswith("PALLAS_AXON")
+                 for k in os.environ)
+          else "/root/repo/.jax_cache_local")
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
