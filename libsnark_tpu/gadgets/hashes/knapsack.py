@@ -127,3 +127,32 @@ def knapsack_crh_bit_eval(p: int, bits: list, dimension: int = 1) -> list:
         out.extend((v >> (field_bits - 1 - i)) & 1
                    for i in range(field_bits))
     return out
+
+
+class KnapsackTwoToOneHashGadget(Gadget):
+    """Two-to-one CRH over digest bit variables with the SHA-gadget call
+    signature, so it drops into the Merkle check-read/update gadgets as
+    `hash_gadget_cls` (the reference's HashT template role;
+    knapsack_gadget.hpp's two_to_one usage in merkle tests). Digest size
+    is dimension * |p| bits.
+    """
+
+    def __init__(self, pb, left, right, output, annotation_prefix="",
+                 dimension: int = knapsack_dimension):
+        super().__init__(pb, annotation_prefix)
+        self.inner = KnapsackCRHBitOutGadget(
+            pb, list(left.bits) + list(right.bits), list(output.bits),
+            dimension, self.annot("knap"))
+
+    def generate_r1cs_constraints(self, ensure_output_bitness: bool = True):
+        self.inner.generate_r1cs_constraints(ensure_output_bitness)
+
+    def generate_r1cs_witness(self):
+        self.inner.generate_r1cs_witness()
+
+    @staticmethod
+    def hash_fn(p: int, dimension: int = knapsack_dimension):
+        """Host two-to-one callable for common.merkle_tree.MerkleTree."""
+        def h(l, r):
+            return knapsack_crh_bit_eval(p, list(l) + list(r), dimension)
+        return h

@@ -21,12 +21,15 @@ class MerkleAuthenticationPathVariable:
     path sibling on the side opposite the address bit
     (merkle_authentication_path_variable.tcc:45-57)."""
 
-    def __init__(self, pb, tree_depth: int, annotation=""):
+    def __init__(self, pb, tree_depth: int, annotation="",
+                 digest_size: int = 256):
         self.pb = pb
         self.tree_depth = tree_depth
-        self.left_digests = [DigestVariable(pb, 256, f"{annotation}_L{i}")
+        self.left_digests = [DigestVariable(pb, digest_size,
+                                            f"{annotation}_L{i}")
                              for i in range(tree_depth)]
-        self.right_digests = [DigestVariable(pb, 256, f"{annotation}_R{i}")
+        self.right_digests = [DigestVariable(pb, digest_size,
+                                             f"{annotation}_R{i}")
                               for i in range(tree_depth)]
 
     def generate_r1cs_constraints(self):
@@ -83,12 +86,13 @@ class MerkleTreeCheckReadGadget(Gadget):
         self.leaf, self.root, self.path = leaf, root, path
         self.read_successful = read_successful
         assert tree_depth == len(self.address_bits) and tree_depth > 0
+        digest_size = leaf.digest_size
 
         self.internal_output = [
-            DigestVariable(pb, 256, self.annot(f"internal_{i}"))
+            DigestVariable(pb, digest_size, self.annot(f"internal_{i}"))
             for i in range(tree_depth - 1)]
         self.computed_root = DigestVariable(
-            pb, 256, self.annot("computed_root"))
+            pb, digest_size, self.annot("computed_root"))
 
         self.hashers = []
         for i in range(tree_depth):

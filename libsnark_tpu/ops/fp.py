@@ -92,31 +92,41 @@ class FpKernel:
         """Sequential full carry propagation -> limbs < 2^16.
 
         cols: (K, *batch) with column values < ~2^30. Returns (out_len, *batch).
+        Implemented as a lax.scan over the limb axis so the HLO stays O(1)
+        in the limb count (compile-size is the binding constraint here).
         """
         K = cols.shape[0]
         out_len = out_len or K
-        outs = []
-        carry = jnp.zeros_like(cols[0])
-        for k in range(K):
-            v = cols[k] + carry
-            outs.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        while len(outs) < out_len:
-            outs.append(carry & LIMB_MASK)
+
+        def step(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        carry, outs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+        extra = []
+        for _ in range(out_len - K):
+            extra.append(carry & LIMB_MASK)
             carry = carry >> LIMB_BITS
-        return jnp.stack(outs[:out_len], axis=0)
+        if extra:
+            outs = jnp.concatenate([outs, jnp.stack(extra, axis=0)], axis=0)
+        return outs[:out_len]
 
     def _sub_limbs(self, a, b, width):
-        """a - b over `width` limbs; returns (diff, borrow_flag). int32 domain."""
-        ai = a.astype(I32)
-        bi = b.astype(I32)
-        outs = []
-        borrow = jnp.zeros_like(ai[0])
-        for k in range(width):
-            d = ai[k] - bi[k] - borrow
+        """a - b over `width` limbs; returns (diff, borrow_flag). int32 domain.
+
+        Borrow chain as a lax.scan over the limb axis (small HLO).
+        """
+        ai = a[:width].astype(I32)
+        bi = b[:width].astype(I32)
+
+        def step(borrow, ab):
+            x, y = ab
+            d = x - y - borrow
             borrow = (d < 0).astype(I32)
-            outs.append((d + (borrow << LIMB_BITS)).astype(U32))
-        return jnp.stack(outs, axis=0), borrow
+            return borrow, (d + (borrow << LIMB_BITS)).astype(U32)
+
+        borrow, outs = jax.lax.scan(step, jnp.zeros_like(ai[0]), (ai, bi))
+        return outs, borrow
 
     def _cond_sub_p(self, r):
         """r (N+1 or N limbs, value < 2p) -> canonical value < p (N limbs)."""
@@ -160,45 +170,71 @@ class FpKernel:
         return jnp.where(cond[None], a, b)
 
     # -- multiplication ---------------------------------------------------------
+    #
+    # Graph-size note: both mul and _redc run their limb loop as a
+    # lax.scan with a SHIFTING accumulator -- each step consumes column 0
+    # and shifts the window down one, so every slice update is the static
+    # [0:N] / [1:N+1] (no per-iteration dynamic-update-slice chains).
+    # HLO is O(1) in the limb count; the unrolled predecessor was the
+    # dominant compile-time cost of every MSM/NTT program.
+
     def _redc(self, cols):
         """Montgomery reduction of lazy columns (K >= 2N+1, value < R*p).
 
         Columns must be < ~2^26 on entry (normalized enough). Returns
-        canonical (N, *batch) value < p. Fully vectorized over the limb
-        axis: ~12 HLO ops per REDC step (graph size matters: this sits
-        inside every group-op kernel).
+        canonical (N, *batch) value < p.
         """
         N = self.N
         K = cols.shape[0]
         if K < 2 * N + 2:
             pad = jnp.zeros((2 * N + 2 - K,) + cols.shape[1:], dtype=U32)
             cols = jnp.concatenate([cols, pad], axis=0)
-        acc = cols
-        p_vec = self._const(self.p_np, acc.ndim - 1)
-        for i in range(N):
-            # normalize column i so its low 16 bits are exact
-            acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
-            t = acc[i] & LIMB_MASK
-            acc = acc.at[i].set(t)
-            u = (t * self.n0inv) & LIMB_MASK
-            prod = u[None] * p_vec                       # (N, *batch)
-            acc = acc.at[i: i + N].add(prod & LIMB_MASK)
-            acc = acc.at[i + 1: i + N + 1].add(prod >> LIMB_BITS)
-            # column i is now == 0 mod 2^16; fold its carry and drop it
-            acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
-        res = acc[N: 2 * N + 2]
-        res = self._carry_propagate(res, out_len=self.N + 1)
+        p_vec = self._const(self.p_np, cols.ndim - 1)
+        n0inv = self.n0inv
+        zrow = jnp.zeros_like(cols[:1])
+
+        def step(acc, _):
+            # low 16 bits of the running value == acc[0] mod 2^16 (exact:
+            # lazy column < 2^32)
+            u = ((acc[0] & LIMB_MASK) * n0inv) & LIMB_MASK
+            prod = u[None] * p_vec                         # (N, *batch)
+            acc = acc.at[0:N].add(prod & LIMB_MASK)
+            acc = acc.at[1:N + 1].add(prod >> LIMB_BITS)
+            # column 0 is now == 0 mod 2^16; fold its carry, drop it,
+            # shift the window (the Montgomery /2^16)
+            acc = acc.at[1].add(acc[0] >> LIMB_BITS)
+            return jnp.concatenate([acc[1:], zrow], axis=0), None
+
+        acc, _ = jax.lax.scan(step, cols, None, length=N)
+        res = self._carry_propagate(acc[: N + 2], out_len=self.N + 1)
         return self._cond_sub_p(res)
 
     def mul(self, a, b):
-        """Montgomery product a*b*R^-1 mod p. Inputs canonical (< p)."""
+        """Montgomery product a*b*R^-1 mod p. Inputs canonical (< p).
+
+        Fused CIOS: one scan over a's limbs interleaving the partial
+        product and the reduction step (columns stay < 2^23).
+        """
         N = self.N
-        cols = jnp.zeros((2 * N + 2,) + a.shape[1:], dtype=U32)
-        for i in range(N):
-            prod = a[i][None] * b  # (N, *batch) uint32, exact
-            cols = cols.at[i: i + N].add(prod & LIMB_MASK)
-            cols = cols.at[i + 1: i + N + 1].add(prod >> LIMB_BITS)
-        return self._redc(cols)
+        p_vec = self._const(self.p_np, a.ndim - 1)
+        n0inv = self.n0inv
+        acc0 = jnp.zeros((N + 2,) + a.shape[1:], dtype=U32)
+        zrow = acc0[:1]
+
+        def step(acc, a_i):
+            prod = a_i[None] * b                           # (N, *batch) exact
+            acc = acc.at[0:N].add(prod & LIMB_MASK)
+            acc = acc.at[1:N + 1].add(prod >> LIMB_BITS)
+            u = ((acc[0] & LIMB_MASK) * n0inv) & LIMB_MASK
+            prod = u[None] * p_vec
+            acc = acc.at[0:N].add(prod & LIMB_MASK)
+            acc = acc.at[1:N + 1].add(prod >> LIMB_BITS)
+            acc = acc.at[1].add(acc[0] >> LIMB_BITS)
+            return jnp.concatenate([acc[1:], zrow], axis=0), None
+
+        acc, _ = jax.lax.scan(step, acc0, a)
+        res = self._carry_propagate(acc, out_len=self.N + 1)
+        return self._cond_sub_p(res)
 
     def sqr(self, a):
         return self.mul(a, a)
