@@ -80,20 +80,29 @@ def main():
     pts = gen_points(base[0], base[1], jnp.asarray(gen_sc))
     jax.block_until_ready(pts)
 
-    # random ~254-bit scalars (top limb clipped below r)
-    sc = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
-    sc[-1] &= 0x2FFF  # keep < r for bn254 (r ~ 2^253.5)
-    sc = jnp.asarray(sc)
+    # Timing discipline for the axon TPU tunnel (observed 2026-08):
+    #  * block_until_ready returns BEFORE remote execution completes --
+    #    only a device->host transfer actually drains the stream;
+    #  * repeat executions on identical resident buffers are served from
+    #    a result cache in ~us.
+    # So: fresh scalar buffers per iteration + np.asarray on the output.
+    def fresh_scalars():
+        s = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+        s[-1] &= 0x2FFF  # keep < r for bn254 (r ~ 2^253.5)
+        return jax.device_put(jnp.asarray(s))
+
+    def drain(x):
+        return [np.asarray(v) for v in jax.tree_util.tree_leaves(x)]
 
     msm = jax.jit(lambda p, s: mk.msm(p, s, c))
-    out = msm(pts, sc)
-    jax.block_until_ready(out)  # compile + warm
+    drain(msm(pts, fresh_scalars()))  # compile + warm
 
+    scs = [fresh_scalars() for _ in range(iters)]
+    drain(scs)
     times = []
-    for _ in range(iters):
+    for s in scs:
         t0 = time.monotonic()
-        out = msm(pts, sc)
-        jax.block_until_ready(out)
+        drain(msm(pts, s))
         times.append(time.monotonic() - t0)
     best = min(times)
     pps = m / best

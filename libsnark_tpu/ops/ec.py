@@ -48,8 +48,15 @@ class CurveKernel:
         return (P[0], self.fk.neg(P[1]), P[2])
 
     # -- group law ------------------------------------------------------------
+    # On TPU backends the G1 (plain-Fp) ops dispatch to fused Pallas
+    # kernels (ops/pallas_ec.py): one launch per group op instead of
+    # ~100 tiny XLA ops (launch overhead dominates at MSM batch sizes).
+
     def dbl(self, P):
         """Jacobian doubling, a=0 (dbl-2009-l). Uniform: handles Z=0."""
+        from .pallas_ec import ec_pallas_ok, dbl as _pdbl
+        if ec_pallas_ok(self.fk):
+            return _pdbl(self.fk, P)
         fk = self.fk
         X, Y, Z = P
         A = fk.sqr(X)
@@ -65,8 +72,18 @@ class CurveKernel:
         Z3 = fk.double(fk.mul(Y, Z))
         return (X3, Y3, Z3)
 
+    def dbl_n(self, P, n: int):
+        """n successive doublings; ONE fused kernel on TPU."""
+        from .pallas_ec import ec_pallas_ok, dbl as _pdbl
+        if ec_pallas_ok(self.fk):
+            return _pdbl(self.fk, P, reps=n)
+        return jax.lax.fori_loop(0, n, lambda _, a: self.dbl(a), P)
+
     def add(self, P, Q):
         """Complete Jacobian addition via add-2007-bl + selects."""
+        from .pallas_ec import ec_pallas_ok, add as _padd
+        if ec_pallas_ok(self.fk):
+            return _padd(self.fk, P, Q)
         fk = self.fk
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -102,11 +119,16 @@ class CurveKernel:
         out = self.select(p_inf, Q, out)
         return out
 
-    def madd(self, P, Q_aff):
+    def madd(self, P, Q_aff, valid=None):
         """Mixed addition: Q given in affine (X2, Y2), Z2 = 1 (madd-2007-bl).
 
         Q_aff may also carry an explicit infinity mask as third element.
+        valid: optional batch bool mask; lanes with valid=False keep P
+        (folded into the fused kernel on TPU -- the MSM rake's select).
         """
+        from .pallas_ec import ec_pallas_ok, madd as _pmadd
+        if ec_pallas_ok(self.fk) and len(Q_aff) == 3:
+            return _pmadd(self.fk, P, Q_aff, valid)
         fk = self.fk
         X1, Y1, Z1 = P
         if len(Q_aff) == 3:
@@ -139,6 +161,8 @@ class CurveKernel:
         out = self.select(p_inf, q_jac, out)
         if q_inf is not None:
             out = self.select(q_inf, P, out)
+        if valid is not None:
+            out = self.select(valid, out, P)
         return out
 
     def _batch_shape(self, arr):

@@ -212,9 +212,14 @@ class FpKernel:
     def mul(self, a, b):
         """Montgomery product a*b*R^-1 mod p. Inputs canonical (< p).
 
-        Fused CIOS: one scan over a's limbs interleaving the partial
-        product and the reduction step (columns stay < 2^23).
+        On TPU backends this dispatches to the single-launch Pallas CIOS
+        kernel (ops/pallas_fp.py); elsewhere, a lax.scan over a's limbs
+        interleaving the partial product and the reduction step (columns
+        stay < 2^23).
         """
+        from .pallas_fp import pallas_enabled, mont_mul
+        if pallas_enabled():
+            return mont_mul(self, jnp.asarray(a), jnp.asarray(b))
         N = self.N
         p_vec = self._const(self.p_np, a.ndim - 1)
         n0inv = self.n0inv

@@ -34,8 +34,12 @@ from .limbs import LIMB_BITS, LIMB_MASK
 
 def default_window_bits(m: int) -> int:
     """Window size heuristic balancing rake work (bits/c * m) vs
-    aggregation work (bits/c * 2^c * c)."""
-    return max(4, min(13, int(math.log2(max(m, 2))) - 7))
+    aggregation work (bits/c * 2^c * c).
+
+    Capped at 10: windows >= 11 reproducibly fault the v5e TPU worker
+    (kernel crash in the compiled rake program, observed 2026-08;
+    revisit when the toolchain moves)."""
+    return max(4, min(10, int(math.log2(max(m, 2))) - 6))
 
 
 def _tree_map(f, *pts):
@@ -135,6 +139,14 @@ class MSMKernel:
     def window_sums(self, points_aff, scalars, c: int):
         """Per-window bucket-aggregated sums S_w (leading axis W).
 
+        ALL windows rake together: one while_loop over bucket rounds with
+        batch shape (W, B+1) -- a single (W*(B+1))-lane masked mixed-add
+        per round instead of a scan over windows (the TPU is latency-bound
+        on these tiny batches, so W-fold widening is a near-free ~W-fold
+        reduction in sequential steps). Points are never materialized in
+        sorted order; each round gathers its (W, B+1) positions through
+        the per-window argsort permutation.
+
         This is the shardable core: partial window sums from disjoint point
         ranges combine by plain point addition (see parallel/msm_sharded)."""
         ck, fk = self.ck, self.fk
@@ -144,52 +156,44 @@ class MSMKernel:
         digits, signs = self.signed_digits(scalars, c)   # (W, m)
         W = digits.shape[0]
 
-        def per_window(carry, win):
-            dig, sgn = win
-            # effective points: negate where digit is negative
-            y_eff = fk.select(sgn, fk.neg(y), y)
-            # sort by bucket id
-            order = jnp.argsort(dig)
-            dig_s = dig[order]
-            xs = jnp.take(x, order, axis=-1)
-            ys = jnp.take(y_eff, order, axis=-1)
-            infs = inf[order]
-            counts = jax.ops.segment_sum(
-                jnp.ones((m,), jnp.int32), dig_s, num_segments=B + 1)
-            starts = jnp.cumsum(counts) - counts
-            counts = counts.at[0].set(0)  # never rake bucket 0
-            max_rounds = jnp.max(counts)
+        order = jnp.argsort(digits, axis=-1)             # (W, m)
+        dig_s = jnp.take_along_axis(digits, order, axis=-1)
+        counts = jax.vmap(lambda d: jax.ops.segment_sum(
+            jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
+        starts = jnp.cumsum(counts, axis=-1) - counts    # (W, B+1)
+        counts = counts.at[:, 0].set(0)                  # never rake bucket 0
+        max_rounds = jnp.max(counts)
+        y_neg = fk.neg(y)
+        widx = jnp.arange(W)[:, None]
+        acc0 = ck.zero((W, B + 1))
 
-            acc0 = ck.zero((B + 1,))
+        def rake_cond(state):
+            r, _ = state
+            return r < max_rounds
 
-            def rake_cond(state):
-                r, _ = state
-                return r < max_rounds
+        def rake_body(state):
+            r, acc = state
+            pos = jnp.clip(starts + r, 0, m - 1)         # (W, B+1)
+            valid = r < counts
+            pg = jnp.take_along_axis(order, pos, axis=-1)  # global indices
+            qx = x[..., pg]                              # (.., W, B+1)
+            sgn = signs[widx, pg]
+            qy = fk.select(sgn, y_neg[..., pg], y[..., pg])
+            qinf = inf[pg]
+            acc = ck.madd(acc, (qx, qy, qinf), valid=valid)
+            return (r + 1, acc)
 
-            def rake_body(state):
-                r, acc = state
-                pos = jnp.clip(starts + r, 0, m - 1)
-                valid = r < counts
-                qx = jnp.take(xs, pos, axis=-1)
-                qy = jnp.take(ys, pos, axis=-1)
-                qinf = jnp.logical_or(infs[pos], jnp.logical_not(valid))
-                new = ck.madd(acc, (qx, qy, qinf))
-                acc = ck.select(valid, new, acc)
-                return (r + 1, acc)
+        _, buckets = jax.lax.while_loop(
+            rake_cond, rake_body, (jnp.int32(0), acc0))
 
-            _, buckets = jax.lax.while_loop(
-                rake_cond, rake_body, (jnp.int32(0), acc0))
-
-            # weighted aggregation: sum_j j * S_j
-            T = self._suffix_scan_add(buckets, B + 1)      # suffix sums
-            R = self._suffix_scan_add(T, B + 1)            # sum of suffixes
-            total = _tree_map(lambda a: a[..., 0:1], R)    # sum_{j>=0} T_j
-            t0 = _tree_map(lambda a: a[..., 0:1], T)       # T_0 (weight fix)
-            S_w = ck.add(total, ck.neg(t0))
-            return carry, S_w
-
-        _, S = jax.lax.scan(per_window, None, (digits, signs))  # (W, ...) points
-        return S
+        # weighted aggregation: sum_j j * S_j, via two suffix point-scans
+        T = self._suffix_scan_add(buckets, B + 1)        # suffix sums
+        R = self._suffix_scan_add(T, B + 1)              # sum of suffixes
+        total = _tree_map(lambda a: a[..., 0:1], R)      # sum_{j>=0} T_j
+        t0 = _tree_map(lambda a: a[..., 0:1], T)         # T_0 (weight fix)
+        S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
+        # window-leading layout (scan-stacking parity for the combiners)
+        return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
     def combine_windows(self, S, c: int):
         """Horner combine of per-window sums: sum_w 2^(cw) S_w."""
@@ -198,9 +202,7 @@ class MSMKernel:
         S_rev = _tree_map(lambda a: jnp.flip(a, axis=0), S)
 
         def comb(acc, s_w):
-            def dble(_, a):
-                return ck.dbl(a)
-            acc = jax.lax.fori_loop(0, c, dble, acc)
+            acc = ck.dbl_n(acc, c)
             return ck.add(acc, s_w), None
 
         out, _ = jax.lax.scan(comb, ck.zero((1,)), S_rev)
@@ -218,9 +220,7 @@ class MSMKernel:
         base_j = (base_aff[0], base_aff[1], ck.fk.one((1,)))
 
         def dbl_win(g, _):
-            def dble(_, a):
-                return ck.dbl(a)
-            return jax.lax.fori_loop(0, c, dble, g), g
+            return ck.dbl_n(g, c), g
 
         _, gs = jax.lax.scan(dbl_win, base_j, None, length=num_windows)
         # scan stacks windows on axis 0; move behind the field lead axes so

@@ -82,8 +82,12 @@ class FourStepDomain:
     def _four_step(self, a, fwd: bool):
         fk = self.fk
         N, n1, n2 = fk.N, self.n1, self.n2
-        shard_n2 = P(None, None, self.axis)
-        shard_n1 = P(None, self.axis, None)
+        # domains smaller than the mesh (n1 or n2 not divisible by D)
+        # fall back to replicated compute on the affected steps -- the
+        # transform is still correct, just not distributed
+        D = self.mesh.shape[self.axis]
+        shard_n2 = (P(None, None, self.axis) if n2 % D == 0 else P())
+        shard_n1 = (P(None, self.axis, None) if n1 % D == 0 else P())
         A = a.reshape((N, n1, n2))
         A = self._constraint(A, shard_n2)
         # step 1: length-n1 NTTs along axis 1 (local under n2 sharding)
@@ -99,7 +103,8 @@ class FourStepDomain:
              else self._ifft_along(self.dom2, A, 2))
         # step 4: transpose to natural order k = k2*n1 + k1
         out = jnp.swapaxes(A, 1, 2).reshape((N, self.m))
-        return self._constraint(out, P(None, self.axis))
+        return self._constraint(
+            out, P(None, self.axis) if self.m % D == 0 else P())
 
     def fft(self, a):
         return self._four_step(a, fwd=True)

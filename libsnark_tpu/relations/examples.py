@@ -54,12 +54,16 @@ def generate_uscs_example(p: int, num_constraints: int, num_inputs: int,
     cs = USCSConstraintSystem(p, num_inputs,
                               num_constraints - num_inputs)
     full = [rng.randrange(1, p) for _ in range(num_constraints)]
-    for _ in range(num_constraints):
+    for i in range(num_constraints):
+        # constraint i always touches variable i: every variable (in
+        # particular every INPUT) appears with a nonzero coefficient, so
+        # the verifier's IC accumulation actually binds the inputs
+        x = i
         while True:
-            x, y, z = (rng.randrange(num_constraints) for _ in range(3))
+            y, z = (rng.randrange(num_constraints) for _ in range(2))
             if x != z and y != z:
                 break
-        x_coeff = rng.randrange(p)
+        x_coeff = rng.randrange(1, p)
         y_coeff = rng.randrange(p)
         val = 1 if rng.randrange(2) == 0 else p - 1
         z_coeff = (val - x_coeff * full[x] - y_coeff * full[y]) \
