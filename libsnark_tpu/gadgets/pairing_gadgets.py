@@ -102,6 +102,26 @@ class G1Gadgets:
         self._wq.append(wit)
         return (_lc(x3), _lc(y3))
 
+    def conditional_add(self, acc, bit, T):
+        """acc + bit * T for a VARIABLE point T (the variable-vk
+        verifier's IC accumulation; reference
+        r1cs_ppzksnark_verifier_gadget.hpp G1_add_variable use)."""
+        pb = self.pb
+        S = self.add(acc, T)
+        rx, ry = self._var("mx"), self._var("my")
+        pb.add_r1cs_constraint(bit, S[0] - acc[0], _lc(rx) - acc[0],
+                               "g1_vcadd_x")
+        pb.add_r1cs_constraint(bit, S[1] - acc[1], _lc(ry) - acc[1],
+                               "g1_vcadd_y")
+
+        def wit(acc=acc, S=S, bit=bit, rx=rx, ry=ry):
+            b = pb.lc_val(_lc(bit))
+            src = S if b else acc
+            pb.setval(rx, pb.lc_val(src[0]))
+            pb.setval(ry, pb.lc_val(src[1]))
+        self._wq.append(wit)
+        return (_lc(rx), _lc(ry))
+
     def conditional_add_const(self, acc, bit, T_host):
         """acc + bit * T for a CONSTANT point T: computes S = acc + T
         (witnessed), result = bit ? S : acc (2 mux constraints)."""

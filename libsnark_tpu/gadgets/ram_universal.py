@@ -36,13 +36,17 @@ from ..relations.tinyram import (
 class MemoryCheckerGadget(Gadget):
     """Order + value consistency for one consecutive sorted pair.
 
-    Lines are (addr, timestamp, value, is_store)."""
+    Lines are (addr, timestamp, value_before, value_after) -- every
+    memory op is a read-modify-write on one dword cell (byte/word
+    stores rewrite the untouched part), so consistency is the chain
+    rule: same address => before2 == after1; fresh address =>
+    before2 == 0."""
 
     def __init__(self, pb, ap, tbits, line1, line2, annotation_prefix=""):
         super().__init__(pb, annotation_prefix)
         self.ap, self.tbits = ap, tbits
-        self.a1, self.t1, self.v1, self.s1 = line1
-        self.a2, self.t2, self.v2, self.s2 = line2
+        self.a1, self.t1, self.vb1, self.va1 = line1
+        self.a2, self.t2, self.vb2, self.va2 = line2
         A = self.annot
         # strict key ordering: key = addr * 2^tbits + t
         self.less = PBVariable().allocate(pb, A("less"))
@@ -62,17 +66,17 @@ class MemoryCheckerGadget(Gadget):
         self.cmp.generate_r1cs_constraints()
         pb.add_r1cs_constraint(1, self.less, 1, A("strict_order"))
         self.is_zero.generate_r1cs_constraints()
-        # zv = same_addr * v1
-        pb.add_r1cs_constraint(self.same_addr, self.v1, self.zv, A("zv"))
-        # read consistency: (1 - is_store2) * (v2 - zv) = 0
-        pb.add_r1cs_constraint(1 - _lc(self.s2), _lc(self.v2) - self.zv,
-                               0, A("read_consistency"))
+        # zv = same_addr * after1
+        pb.add_r1cs_constraint(self.same_addr, self.va1, self.zv, A("zv"))
+        # chain rule: before2 = same_addr ? after1 : 0
+        pb.add_r1cs_constraint(1, _lc(self.vb2) - self.zv, 0,
+                               A("chain_consistency"))
 
     def generate_r1cs_witness(self):
         pb = self.pb
         self.cmp.generate_r1cs_witness()
         self.is_zero.generate_r1cs_witness()
-        pb.setval(self.zv, pb.val(self.same_addr) * pb.lc_val(self.v1)
+        pb.setval(self.zv, pb.val(self.same_addr) * pb.lc_val(self.va1)
                   % pb.p)
 
 
@@ -97,13 +101,13 @@ class RAMUniversalGadget(Gadget):
         pb.set_input_sizes(self.B)
 
         # ---- boot memory lines --------------------------------------------
-        # line tuple = (addr, t, value, is_store) as variables/lcs
+        # line tuple = (addr, t, value_before, value_after)
         self.boot_addr = PBVariableArray().allocate(pb, self.B, A("baddr"))
         self.boot_val = PBVariableArray().allocate(pb, self.B, A("bval"))
         self.lines = []
         for i in range(self.B):
-            # packed = addr * 2^(2w) + value
-            self.lines.append((self.boot_addr[i], i, self.boot_val[i], 1))
+            # packed = addr * 2^(2w) + value; boot writes fresh cells
+            self.lines.append((self.boot_addr[i], i, 0, self.boot_val[i]))
 
         # ---- per-step state -------------------------------------------------
         self.regs = [[PBVariable().allocate(pb, A(f"r{s}_{j}"))
@@ -130,19 +134,19 @@ class RAMUniversalGadget(Gadget):
                 self.regs[s + 1], self.flags[s + 1], self.pcs[s + 1],
                 self.instrs[s], self.mem_addr[s], self.mem_in[s],
                 self.mem_out[s], self.mem_st[s], A(f"cpu_{s}")))
-            # fetch line: read instr at pc (t = B + 2s)
+            # fetch line: read instr at pc (t = B + 2s); before == after
             self.lines.append((self.pcs[s], self.B + 2 * s,
-                               self.instrs[s], 0))
-            # data line (t = B + 2s + 1)
+                               self.instrs[s], self.instrs[s]))
+            # data line (t = B + 2s + 1): read-modify-write of the cell
             self.lines.append((self.mem_addr[s], self.B + 2 * s + 1,
-                               self.mem_out[s], self.mem_st[s]))
+                               self.mem_in[s], self.mem_out[s]))
 
-        # ---- routing: packets (addr, t, value, is_store) ------------------
+        # ---- routing: packets (addr, t, before, after) --------------------
         self.routed = [
             [PBVariable().allocate(pb, A(f"srt_{i}_{c}"))
              for c in range(4)] for i in range(num_lines)]
         inputs = [[_lc(a), _lc(t) if isinstance(t, int) else _lc(t),
-                   _lc(v), _lc(s)] for (a, t, v, s) in self.lines]
+                   _lc(vb), _lc(va)] for (a, t, vb, va) in self.lines]
         self.network = ASWaksmanRoutingGadget(
             pb, inputs, self.routed, A("route"))
 
@@ -216,7 +220,7 @@ class RAMUniversalGadget(Gadget):
         mem_after = dict(boot)
         for s in trace:
             if s.mem_op and s.mem_op[0] == "w":
-                mem_after[s.mem_op[1]] = s.mem_op[2]
+                mem_after[s.mem_op[1]] = s.mem_op[3]
         while len(trace) < self.T:
             last = trace[-1]
             import dataclasses as _dc
@@ -247,12 +251,12 @@ class RAMUniversalGadget(Gadget):
 
         # ---- route to memory-sorted order ----------------------------------
         lines_vals = []
-        for (a, t, v, st) in self.lines:
+        for (a, t, vb, va) in self.lines:
             av = pb.lc_val(_lc(a))
             tv = t if isinstance(t, int) else pb.lc_val(_lc(t))
-            vv = pb.lc_val(_lc(v))
-            sv = pb.lc_val(_lc(st))
-            lines_vals.append((av, tv, vv, sv))
+            vbv = pb.lc_val(_lc(vb))
+            vav = pb.lc_val(_lc(va))
+            lines_vals.append((av, tv, vbv, vav))
         order = sorted(range(len(lines_vals)),
                        key=lambda i: (lines_vals[i][0], lines_vals[i][1]))
         # permutation: input i -> position perm[i]

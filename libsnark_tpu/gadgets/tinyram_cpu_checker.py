@@ -182,6 +182,30 @@ class TinyRAMCPUChecker(Gadget):
         self.a1_word = WordGadget(pb, w, A("a1_word"))
         self.a2_word = WordGadget(pb, w, A("a2_word"))
 
+        # ---- memory masking (byte/word access into dword cells) -----------
+        # (reference memory_masking_gadget.tcc + cpu_checker.tcc:156-291:
+        # memory is dword cells at address a2 >> subaddr_len; mem_in/out
+        # are the PREV/NEXT dword; subcontents the addressed byte/word)
+        sal = ap.subaddr_len
+        nbytes = 2 * ap.bytes_in_word
+        self.des_word = WordGadget(pb, w, A("des_word"))
+        self.mem_prev_bits = PBVariableArray().allocate(
+            pb, 2 * w, A("mem_prev_bits"))
+        self.unpack_mem_prev = PackingGadget(pb, self.mem_prev_bits,
+                                             mem_in, A("unpack_mprev"))
+        self.mem_next_bits = PBVariableArray().allocate(
+            pb, 2 * w, A("mem_next_bits"))
+        self.unpack_mem_next = PackingGadget(pb, self.mem_next_bits,
+                                             mem_out, A("unpack_mnext"))
+        self.subcontents = PBVariable().allocate(pb, A("subcontents"))
+        self.is_subaddress = PBVariableArray().allocate(
+            pb, nbytes, A("is_subaddress"))
+        self.is_byte = PBVariableArray().allocate(pb, nbytes, A("is_byte"))
+        self.is_word0 = PBVariable().allocate(pb, A("is_word0"))
+        self.is_word1 = PBVariable().allocate(pb, A("is_word1"))
+        self.masked_t = PBVariableArray().allocate(
+            pb, nbytes + 2, A("masked_t"))     # indicator * masked_value
+
         # ---- per-opcode results -------------------------------------------
         self.results = {}       # opcode -> (result_lc, flag_lc)
         self._aux_gadgets: List[Gadget] = []
@@ -359,10 +383,10 @@ class TinyRAMCPUChecker(Gadget):
                    Opcode.STOREW, Opcode.ANSWER):
             self.results[op] = (_lc(self.des_old), _lc(self.flag_before))
 
-        # memory loads: result = mem_out value
-        self.results[Opcode.LOADB] = (_lc(self.mem_out),
+        # memory loads: result = the addressed byte/word of the dword
+        self.results[Opcode.LOADB] = (_lc(self.subcontents),
                                       _lc(self.flag_before))
-        self.results[Opcode.LOADW] = (_lc(self.mem_out),
+        self.results[Opcode.LOADW] = (_lc(self.subcontents),
                                       _lc(self.flag_before))
 
         # READ: nondeterministic tape advice
@@ -541,6 +565,11 @@ class TinyRAMCPUChecker(Gadget):
             self.pc_after, A("pc_after"))
 
         # ---- memory op wiring ------------------------------------------------
+        # Dword-cell memory with byte/word masking (reference
+        # memory_masking_gadget.tcc + tinyram_cpu_checker.tcc:156-291).
+        ap = self.ap
+        sal = ap.subaddr_len
+        nbytes = 2 * ap.bytes_in_word
         is_load = (_lc(alpha[int(Opcode.LOADB)])
                    + alpha[int(Opcode.LOADW)])
         is_store = (_lc(alpha[int(Opcode.STOREB)])
@@ -549,18 +578,85 @@ class TinyRAMCPUChecker(Gadget):
         touches = is_load + is_store
         self.touches_mem = PBVariable().allocate(pb, A("touches_mem"))
         pb.add_r1cs_constraint(1, touches, self.touches_mem, A("touch"))
-        # mem_addr = touches ? a2 : DUMMY (a reserved never-written address
-        # so the sorted-memory check sees a fresh zero read)
+        # ls_addr = a2 >> subaddr_len (from a2's bit decomposition)
+        a2b = self.a2_word.bits
+        ls_addr = LinearCombination()
+        for i in range(sal, w):
+            ls_addr = ls_addr + _lc(a2b[i]) * (1 << (i - sal))
+        # mem_addr = touches ? ls_addr : DUMMY (a reserved never-written
+        # address so the sorted-memory check sees a fresh zero read)
         D = self.dummy_addr
-        pb.add_r1cs_constraint(self.touches_mem, _lc(self.a2) - D,
+        pb.add_r1cs_constraint(self.touches_mem, ls_addr - D,
                                _lc(self.mem_addr) - D, A("mem_addr"))
-        # store value: mem_in = des_old when store (stores write des reg)
-        pb.add_r1cs_constraint(self.mem_is_store,
-                               _lc(self.des_old) - self.mem_out, 0,
-                               A("store_val"))
-        # non-touching steps read value 0 (at the dummy address)
+        # dword bit decompositions of prev/next cell contents
+        self.unpack_mem_prev.generate_r1cs_constraints(True)
+        self.unpack_mem_next.generate_r1cs_constraints(True)
+        self.des_word.generate_r1cs_constraints(True)
+        pb.add_r1cs_constraint(1, self.des_word.packed, self.des_old,
+                               A("des_word_eq"))
+        # non-store steps write back the same dword (loads + dummies)
+        pb.add_r1cs_constraint(1 - _lc(self.mem_is_store),
+                               _lc(self.mem_in) - self.mem_out, 0,
+                               A("rmw_identity"))
+        # non-touching steps see value 0 (at the dummy address)
         pb.add_r1cs_constraint(1 - _lc(self.touches_mem), self.mem_out, 0,
                                A("dummy_mem"))
+
+        # subaddress one-hot over byte positions
+        sub_lc = LinearCombination()
+        for i in range(sal):
+            sub_lc = sub_lc + _lc(a2b[i]) * (1 << i)
+        for i in range(nbytes):
+            pb.add_r1cs_constraint(self.is_subaddress[i], sub_lc - i, 0,
+                                   A(f"is_sub_{i}"))
+            generate_boolean_r1cs_constraint(pb, self.is_subaddress[i],
+                                             A(f"sub_bool_{i}"))
+        pb.add_r1cs_constraint(1, pb_sum(self.is_subaddress), 1,
+                               A("sub_onehot"))
+        access_is_byte = (_lc(alpha[int(Opcode.LOADB)])
+                          + alpha[int(Opcode.STOREB)])
+        access_is_word = _lc(1) - access_is_byte
+        for i in range(nbytes):
+            pb.add_r1cs_constraint(access_is_byte, self.is_subaddress[i],
+                                   self.is_byte[i], A(f"is_byte_{i}"))
+        sub_msb = a2b[sal - 1]
+        pb.add_r1cs_constraint(access_is_word, 1 - _lc(sub_msb),
+                               self.is_word0, A("is_word0"))
+        pb.add_r1cs_constraint(access_is_word, _lc(sub_msb),
+                               self.is_word1, A("is_word1"))
+
+        # masked-out values of the prev dword (addressed part zeroed)
+        pbits = self.mem_prev_bits
+        mask_vals = []
+        mask_vals.append(pb_packing_sum(pbits[w: 2 * w]) * (1 << w))
+        mask_vals.append(pb_packing_sum(pbits[: w]))
+        for i in range(nbytes):
+            mask_vals.append(
+                _lc(self.mem_in)
+                - pb_packing_sum(pbits[8 * i: 8 * (i + 1)]) * (1 << (8 * i)))
+        indicators = [_lc(self.is_word0), _lc(self.is_word1)] + [
+            _lc(self.is_byte[i]) for i in range(nbytes)]
+        masked_sum = LinearCombination()
+        for j, (ind, val) in enumerate(zip(indicators, mask_vals)):
+            pb.add_r1cs_constraint(ind, val, self.masked_t[j],
+                                   A(f"masked_t_{j}"))
+            masked_sum = masked_sum + self.masked_t[j]
+        # shift * subcontents = mem_out - masked_out_prev
+        shift = (_lc(self.is_word0) + _lc(self.is_word1) * (1 << w))
+        for i in range(nbytes):
+            shift = shift + _lc(self.is_byte[i]) * (1 << (8 * i))
+        pb.add_r1cs_constraint(shift, self.subcontents,
+                               _lc(self.mem_out) - masked_sum,
+                               A("mask_difference"))
+        # stored subcontents: STOREB writes des_old's low byte, STOREW
+        # writes the full des_old word
+        pb.add_r1cs_constraint(
+            alpha[int(Opcode.STOREB)],
+            _lc(self.subcontents) - pb_packing_sum(self.des_word.bits[:8]),
+            0, A("storeb_val"))
+        pb.add_r1cs_constraint(
+            alpha[int(Opcode.STOREW)],
+            _lc(self.subcontents) - self.des_old, 0, A("storew_val"))
 
     # ------------------------------------------------------------- witness
     def generate_r1cs_witness(self, step):
@@ -623,14 +719,50 @@ class TinyRAMCPUChecker(Gadget):
         pb.setval(self.mem_is_store,
                   1 if ins.opcode in {Opcode.STOREB, Opcode.STOREW} else 0)
         if step.mem_op:
-            kind, addr, val = step.mem_op
+            kind, addr, before, after = step.mem_op
             pb.setval(self.mem_addr, addr)
-            pb.setval(self.mem_out, val)
-            pb.setval(self.mem_in, val)
+            pb.setval(self.mem_in, before)
+            pb.setval(self.mem_out, after)
         else:
+            before = after = 0
             pb.setval(self.mem_addr, self.dummy_addr)
             pb.setval(self.mem_out, 0)
             pb.setval(self.mem_in, 0)
+        # dword decompositions + des word
+        self.unpack_mem_prev.generate_r1cs_witness_from_packed()
+        self.unpack_mem_next.generate_r1cs_witness_from_packed()
+        self.des_word.set(des_old)
+        # masking indicators + subcontents
+        sal = ap.subaddr_len
+        nbytes = 2 * ap.bytes_in_word
+        sub = a2 & ((1 << sal) - 1)
+        is_byte_access = ins.opcode in {Opcode.LOADB, Opcode.STOREB}
+        word_sel = (sub >> (sal - 1)) & 1
+        for i in range(nbytes):
+            pb.setval(self.is_subaddress[i], 1 if i == sub else 0)
+            pb.setval(self.is_byte[i],
+                      1 if (is_byte_access and i == sub) else 0)
+        pb.setval(self.is_word0,
+                  1 if (not is_byte_access and word_sel == 0) else 0)
+        pb.setval(self.is_word1,
+                  1 if (not is_byte_access and word_sel == 1) else 0)
+        if is_byte_access:
+            sub_val = ((after if ins.opcode == Opcode.STOREB else before)
+                       >> (8 * sub)) & 0xFF
+        else:
+            sub_val = ((after if ins.opcode == Opcode.STOREW else before)
+                       >> (w * word_sel)) & mask
+        pb.setval(self.subcontents, sub_val)
+        # masked_t[j] = indicator_j * masked_value_j
+        mask_vals = [
+            (before >> w) << w,                      # word0 masked out
+            before & ((1 << w) - 1),                 # word1 masked out
+        ] + [before - (((before >> (8 * i)) & 0xFF) << (8 * i))
+             for i in range(nbytes)]
+        inds = ([pb.val(self.is_word0), pb.val(self.is_word1)]
+                + [pb.val(self.is_byte[i]) for i in range(nbytes)])
+        for j in range(nbytes + 2):
+            pb.setval(self.masked_t[j], inds[j] * mask_vals[j])
 
         # ALU witnesses
         pb.setval(self.prod, a1 * a2)

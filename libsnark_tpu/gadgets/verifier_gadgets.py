@@ -99,3 +99,131 @@ class Groth16VerifierGadget:
         """Run after set_proof_witness() and input bits are set."""
         self.g1.generate_witness()
         self.pg.generate_witness()
+
+
+class Groth16VerificationKeyVariable:
+    """vk as circuit VARIABLES (reference
+    r1cs_ppzksnark_verifier_gadget.hpp:35-107
+    r1cs_ppzksnark_verification_key_variable): alpha/beta/gamma/delta and
+    the IC points are witness values, so one verifier circuit checks
+    proofs under any vk -- the prerequisite for multi-predicate PCD,
+    where the vk is fed in and its membership in a committed vk set is
+    proven separately (mp_pcd_circuits.hpp:99-106).
+
+    ``coordinate_lcs()`` exposes every field coordinate as an LC in a
+    canonical order, for binding the vk to a hash / set-commitment leaf.
+    """
+
+    def __init__(self, pb, pg: "PairingGadgets", g1: "G1Gadgets",
+                 num_inputs: int, prefix="vkvar"):
+        self.pb = pb
+        self.pg, self.g1 = pg, g1
+        self.num_inputs = num_inputs
+        self.alpha_g1 = g1.alloc()
+        self._g2_vars = []
+        self.beta_g2 = self._alloc_g2()
+        self.gamma_g2 = self._alloc_g2()
+        self.delta_g2 = self._alloc_g2()
+        self.gamma_ABC = [g1.alloc() for _ in range(num_inputs + 1)]
+
+    def _alloc_g2(self):
+        x, xv = self.pg.fp2.alloc_input()
+        y, yv = self.pg.fp2.alloc_input()
+        self._g2_vars.append((xv, yv))
+        return (x, y)
+
+    def set_witness(self, vk):
+        pb = self.pb
+        for (lc_pair, pt) in [(self.alpha_g1, vk.alpha_g1)] + list(
+                zip(self.gamma_ABC, vk.gamma_ABC)):
+            pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
+            pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
+        for (xv, yv), pt in zip(self._g2_vars,
+                                (vk.beta_g2, vk.gamma_g2, vk.delta_g2)):
+            pb.setval(xv[0], int(pt.x.c0))
+            pb.setval(xv[1], int(pt.x.c1))
+            pb.setval(yv[0], int(pt.y.c0))
+            pb.setval(yv[1], int(pt.y.c1))
+
+    def coordinate_lcs(self):
+        """All vk field coordinates as LCs, canonical order (G1 points
+        as x,y; G2 points as x.c0,x.c1,y.c0,y.c1)."""
+        out = [self.alpha_g1[0], self.alpha_g1[1]]
+        for (x, y) in (self.beta_g2, self.gamma_g2, self.delta_g2):
+            out += [x[0], x[1], y[0], y[1]]
+        for (x, y) in self.gamma_ABC:
+            out += [x, y]
+        return out
+
+
+class Groth16VerifierGadgetVariableVK:
+    """Groth16 verifier with the vk as witness (reference
+    r1cs_ppzksnark_verifier_gadget.hpp:110-244). All four pairings run
+    fully symbolic Miller loops; the IC accumulation doubles variable
+    base points in-circuit.
+
+    Check: ML(B, A) * ML(beta, -alpha) * ML(gamma, -acc) * ML(delta, -C)
+    final-exponentiates to one."""
+
+    def __init__(self, pb: Protoboard, inner_curve,
+                 vk_var: Groth16VerificationKeyVariable,
+                 input_bits: List[list], prefix="g16vv"):
+        self.pb = pb
+        self.curve = inner_curve
+        self.vk = vk_var
+        self.pg = vk_var.pg
+        self.g1 = vk_var.g1
+        self.input_bits = input_bits
+        assert len(input_bits) == vk_var.num_inputs
+        self.proof_A = self.g1.alloc()
+        self.proof_C = self.g1.alloc()
+        Bx, self._Bx_vars = self.pg.fp2.alloc_input()
+        By, self._By_vars = self.pg.fp2.alloc_input()
+        self.proof_B = (Bx, By)
+        self._build()
+
+    def set_proof_witness(self, proof):
+        pb = self.pb
+        for (lc_pair, pt) in ((self.proof_A, proof.g_A),
+                              (self.proof_C, proof.g_C)):
+            pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
+            pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
+        pb.setval(self._Bx_vars[0], int(proof.g_B.x.c0))
+        pb.setval(self._Bx_vars[1], int(proof.g_B.x.c1))
+        pb.setval(self._By_vars[0], int(proof.g_B.y.c0))
+        pb.setval(self._By_vars[1], int(proof.g_B.y.c1))
+
+    def _build(self):
+        pg, g1, pb = self.pg, self.g1, self.pb
+        f12 = pg.fp12
+        vk = self.vk
+
+        for bits in self.input_bits:
+            for b in bits:
+                generate_boolean_r1cs_constraint(pb, b, "g16vv_input_bit")
+
+        # acc = IC[0] + sum_i sum_j bit_{i,j} * 2^j * IC[i+1]
+        # (variable bases: in-circuit doubling ladder per input)
+        acc = vk.gamma_ABC[0]
+        for i, bits in enumerate(self.input_bits):
+            T = vk.gamma_ABC[i + 1]
+            for j, bit in enumerate(bits):
+                acc = g1.conditional_add(acc, bit, T)
+                if j + 1 < len(bits):
+                    T = g1.dbl(T)
+        self.acc = acc
+
+        f = pg.miller_loop(pg.embed_g2(self.proof_B),
+                           pg.embed_g1(self.proof_A))
+        f = f12.mul(f, pg.miller_loop(
+            pg.embed_g2(vk.beta_g2), pg.embed_g1(g1.neg(vk.alpha_g1))))
+        f = f12.mul(f, pg.miller_loop(
+            pg.embed_g2(vk.gamma_g2), pg.embed_g1(g1.neg(acc))))
+        f = f12.mul(f, pg.miller_loop(
+            pg.embed_g2(vk.delta_g2), pg.embed_g1(g1.neg(self.proof_C))))
+        out = pg.final_exp(f)
+        f12.assert_eq(out, f12.one(), "g16vv_check")
+
+    def generate_witness(self):
+        self.g1.generate_witness()
+        self.pg.generate_witness()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -133,8 +134,15 @@ class MSMKernel:
         Returns a Jacobian point with batch shape (1,).
         """
         c = c or default_window_bits(scalars.shape[-1])
-        S = self.window_sums(points_aff, scalars, c)
+        S = self.window_sums_auto(points_aff, scalars, c)
         return self.combine_windows(S, c)
+
+    def window_sums_auto(self, points_aff, scalars, c: int):
+        """Dense bucket-matrix path by default (LIBSNARK_TPU_MSM_DENSE=0
+        selects the legacy sequential rake)."""
+        if os.environ.get("LIBSNARK_TPU_MSM_DENSE", "1") == "1":
+            return self.window_sums_dense(points_aff, scalars, c)
+        return self.window_sums(points_aff, scalars, c)
 
     def window_sums(self, points_aff, scalars, c: int):
         """Per-window bucket-aggregated sums S_w (leading axis W).
@@ -193,6 +201,115 @@ class MSMKernel:
         t0 = _tree_map(lambda a: a[..., 0:1], T)         # T_0 (weight fix)
         S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
         # window-leading layout (scan-stacking parity for the combiners)
+        return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
+
+    def _tree_reduce_points(self, P):
+        """Reduce a Jacobian point array over its LAST batch axis with a
+        log-depth add tree (odd widths pad with an infinity lane)."""
+        ck = self.ck
+        width = P[0].shape[-1]
+        while width > 1:
+            if width % 2:
+                P = _tree_map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros_like(a[..., :1])], axis=-1), P)
+                # Z pad lane is 0 -> infinity; X/Y zeros are harmless
+                width += 1
+            h = width // 2
+            P = ck.add(_tree_map(lambda a: a[..., :h], P),
+                       _tree_map(lambda a: a[..., h:], P))
+            width = h
+        return P
+
+    def window_sums_dense(self, points_aff, scalars, c: int,
+                          rounds_pad: int = None):
+        """Dense bucket-matrix bucket accumulation (v2).
+
+        The rake (window_sums) runs ~m/B sequential masked-madd rounds --
+        each a gather + kernel launch; at 2^16 points that is ~180
+        latency-bound steps. Here the per-bucket point lists are padded
+        to a fixed chunk length R and gathered in ONE shot into a dense
+        (W, B+1, R) layout, then reduced over R with a log-depth masked
+        point-add tree: ~log2(R) big kernel launches. Work grows by the
+        bucket-occupancy padding (~1.5x at c=10) but the sequential-step
+        count drops ~20x -- the TPU is latency-bound at these sizes.
+
+        Correctness under adversarial scalar distributions (a bucket with
+        count >> E[count], e.g. all-equal scalars): an outer while_loop
+        processes ceil(max_count / R) chunks -- 1 chunk in the random
+        case, more only when some bucket overflows R.
+        """
+        ck, fk = self.ck, self.fk
+        m = scalars.shape[-1]
+        B = 1 << (c - 1)
+        x, y, inf = points_aff
+        digits, signs = self.signed_digits(scalars, c)   # (W, m)
+        W = digits.shape[0]
+
+        if rounds_pad is None:
+            mean = m / B
+            # ~max over W*B near-binomial buckets (extreme-value term),
+            # plus slack; overflow is handled by the chunk loop anyway
+            rounds_pad = int(mean + 2.5 * math.sqrt(
+                2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
+            rounds_pad = min(max(rounds_pad, 8), max(m, 2))
+        rounds_pad += rounds_pad % 2                     # even (clean tree)
+
+        order = jnp.argsort(digits, axis=-1)             # (W, m)
+        dig_s = jnp.take_along_axis(digits, order, axis=-1)
+        counts = jax.vmap(lambda d: jax.ops.segment_sum(
+            jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
+        starts = jnp.cumsum(counts, axis=-1) - counts    # (W, B+1)
+        counts = counts.at[:, 0].set(0)                  # bucket 0 unused
+
+        R = rounds_pad
+        r_idx = jnp.arange(R, dtype=jnp.int32)           # (R,)
+        widx = jnp.arange(W)[:, None, None]
+        y_neg = fk.neg(y)
+        max_count = jnp.max(counts)
+
+        def chunk(base):
+            """Gather + tree-reduce rounds [base, base+R) of every
+            bucket; returns (W, B+1) Jacobian partial bucket sums."""
+            pos = jnp.clip(starts[..., None] + base + r_idx, 0, m - 1)
+            valid = (base + r_idx) < counts[..., None]   # (W, B+1, R)
+            pg = jnp.take_along_axis(
+                order[:, None, :], pos.reshape(W, 1, -1), axis=-1
+            ).reshape(W, B + 1, R)                       # global indices
+            qx = x[..., pg]
+            sgn = signs[widx, pg]
+            qy = fk.select(sgn, y_neg[..., pg], y[..., pg])
+            qinf = jnp.logical_or(inf[pg], jnp.logical_not(valid))
+            # lift the left half to Jacobian, mixed-add the right half
+            # (R is even), then full-add tree down to one lane
+            half = R // 2
+            lx, ly, li = qx[..., :half], qy[..., :half], qinf[..., :half]
+            one = fk.one(li.shape)
+            accL = (lx, ly, fk.select(li, fk.zeros(li.shape), one))
+            acc = ck.madd(accL, (qx[..., half:], qy[..., half:],
+                                 qinf[..., half:]))      # (W, B+1, half)
+            P = self._tree_reduce_points(acc)
+            return _tree_map(lambda a: a[..., 0], P)     # (W, B+1)
+
+        # chunked loop: 1 iteration for random scalars, more only when
+        # some bucket's occupancy exceeds R (adversarial distributions)
+        def cond(state):
+            t, _ = state
+            return t * R < max_count
+
+        def body(state):
+            t, accb = state
+            return t + 1, ck.add(accb, chunk(t * R))
+
+        _, buckets = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ck.zero((W, B + 1))))
+
+        # weighted aggregation: sum_j j * S_j via two suffix point-scans
+        T = self._suffix_scan_add(buckets, B + 1)
+        R2 = self._suffix_scan_add(T, B + 1)
+        total = _tree_map(lambda a: a[..., 0:1], R2)
+        t0 = _tree_map(lambda a: a[..., 0:1], T)
+        S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
         return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
     def combine_windows(self, S, c: int):

@@ -1,11 +1,13 @@
 """Fused Pallas TPU kernels for Jacobian group ops over Fp (G1).
 
-Measured on the v5e tunnel (2026-08): per-launch overhead ~0.8ms vs
-~23us of actual CIOS compute per multiply -- a jnp-composed madd
-(~19 muls + ~40 adds as separate XLA ops) costs ~50-100ms per MSM rake
-round. These kernels run the ENTIRE group operation (all field muls,
-adds, exceptional-case selects, and the rake validity mask) inside one
-Pallas kernel: one launch per group op.
+Each group operation (all field muls, adds, exceptional-case selects,
+and the bucket-validity mask) runs inside ONE Pallas kernel: one launch
+per group op instead of ~100 tiny XLA dispatches.
+
+v2 (round 2): kernel bodies use the 2D (N, L) tile ops from pallas_fp
+(the round-1 per-row 1D formulation used 1 of 8 sublanes and measured
+~25x off VPU speed-of-light). Modulus and Montgomery-one limbs enter as
+(N, 1) operands.
 
 Formulas mirror ops/ec.py exactly (dbl-2009-l, madd-2007-bl,
 add-2007-bl, a = 0), with the same branchless select semantics.
@@ -20,108 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
-from .pallas_fp import _mul_body, pallas_enabled
+from .pallas_fp import (_F, _fselect, _fzero_mask, pallas_enabled)
 
-_BLOCK = 512
-
-
-# --------------------------------------------------------------- field helpers
-# All operate on (N, L) uint32 canonical values as python lists-of-rows
-# are avoided; jnp arrays throughout. p_list: python-int limb constants.
-
-def _carry(cols, out_len):
-    outs = []
-    c = jnp.zeros_like(cols[0])
-    for k in range(len(cols)):
-        v = cols[k] + c
-        outs.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    while len(outs) < out_len:
-        outs.append(c & LIMB_MASK)
-        c = c >> LIMB_BITS
-    return outs[:out_len]
-
-
-def _cond_sub_p(res, p_list):
-    """res: list of N+1 limb rows < 2p -> N rows < p."""
-    N = len(p_list)
-    p_ext = list(p_list) + [0]
-    borrow = jnp.zeros_like(res[0], dtype=jnp.int32)
-    diff = []
-    for k in range(N + 1):
-        d = res[k].astype(jnp.int32) - p_ext[k] - borrow
-        borrow = (d < 0).astype(jnp.int32)
-        diff.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
-    keep = borrow != 0
-    return [jnp.where(keep, res[k], diff[k]) for k in range(N)]
-
-
-def _fadd(a, b, p_list):
-    N = len(p_list)
-    cols = [a[k] + b[k] for k in range(N)]          # lazy < 2^17
-    return jnp.stack(_cond_sub_p(_carry(cols, N + 1), p_list))
-
-
-def _fsub(a, b, p_list):
-    N = len(p_list)
-    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
-    diff = []
-    for k in range(N):
-        d = a[k].astype(jnp.int32) - b[k].astype(jnp.int32) - borrow
-        borrow = (d < 0).astype(jnp.int32)
-        diff.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
-    # if borrowed, add p back
-    under = borrow != 0
-    cols = [diff[k] + jnp.where(under, jnp.uint32(p_list[k]),
-                                jnp.uint32(0)) for k in range(N)]
-    return jnp.stack(_carry(cols, N))
-
-
-def _fdouble(a, p_list):
-    return _fadd(a, a, p_list)
-
-
-def _fzero_mask(a):
-    """(L,) bool: a == 0 across limbs."""
-    m = a[0] == 0
-    for k in range(1, a.shape[0]):
-        m = jnp.logical_and(m, a[k] == 0)
-    return m
-
-
-def _fselect(cond, a, b):
-    return jnp.where(cond[None], a, b)
-
-
-class _F:
-    """Field-op bundle bound to (p_list, n0inv, N) for kernel bodies."""
-
-    def __init__(self, p_list, n0inv):
-        self.p_list = p_list
-        self.n0inv = n0inv
-        self.N = len(p_list)
-
-    def mul(self, a, b):
-        return _mul_body(a, b, self.p_list, self.n0inv, self.N)
-
-    def sqr(self, a):
-        return self.mul(a, a)
-
-    def add(self, a, b):
-        return _fadd(a, b, self.p_list)
-
-    def sub(self, a, b):
-        return _fsub(a, b, self.p_list)
-
-    def dbl(self, a):
-        return _fdouble(a, self.p_list)
-
-    def one(self, like):
-        R_mod_p = self._one_val
-        return jnp.stack([jnp.full_like(like[0], v) for v in R_mod_p])
-
-    def zero(self, like):
-        return jnp.zeros_like(like)
+_BLOCK = 1024
 
 
 def _ec_dbl(F, X, Y, Z):
@@ -141,7 +44,9 @@ def _ec_dbl(F, X, Y, Z):
 
 
 def _ec_madd(F, X1, Y1, Z1, X2, Y2, q_inf, valid):
-    """madd-2007-bl + exceptional-case selects + rake validity mask."""
+    """madd-2007-bl + exceptional-case selects + bucket validity mask.
+
+    q_inf, valid: (1, L) bool."""
     Z1Z1 = F.sqr(Z1)
     U2 = F.mul(X2, Z1Z1)
     S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
@@ -216,36 +121,37 @@ def _ec_add(F, X1, Y1, Z1, X2, Y2, Z2):
 
 # ------------------------------------------------------------------- builders
 
-def _make_F(fk):
-    F = _F(tuple(int(v) for v in int_to_limbs(fk.p, fk.N)), fk.n0inv)
-    F._one_val = tuple(int(v) for v in fk.one_mont_np)
-    return F
+def _const_operands(p: int, N: int, one_mont: tuple):
+    p_arr = jnp.asarray(int_to_limbs(p, N)).reshape(N, 1)
+    one_arr = jnp.asarray(np.array(one_mont, dtype=np.uint32)).reshape(N, 1)
+    return p_arr, one_arr
 
 
 @functools.lru_cache(maxsize=None)
 def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
     from jax.experimental import pallas as pl
-    F = _F(tuple(int(v) for v in int_to_limbs(p, N)), n0inv)
-    F._one_val = one_mont
+    p_arr, one_arr = _const_operands(p, N, one_mont)
 
-    def kernel(x1, y1, z1, x2, y2, qi, va, ox, oy, oz):
+    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, qi, va, ox, oy, oz):
+        F = _F(p_ref[...], n0inv, one_ref[...])
         X3, Y3, Z3 = _ec_madd(F, x1[...], y1[...], z1[...],
                               x2[...], y2[...],
-                              qi[...][0] != 0, va[...][0] != 0)
+                              qi[...] != 0, va[...] != 0)
         ox[...], oy[...], oz[...] = X3, Y3, Z3
 
     block = min(_BLOCK, L)
     fs = pl.BlockSpec((N, block), lambda i: (0, i))
     ms = pl.BlockSpec((1, block), lambda i: (0, i))
+    cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
     shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1, x2, y2, qi, va):
         return pl.pallas_call(
             kernel, out_shape=(shp, shp, shp), grid=(L // block,),
-            in_specs=[fs, fs, fs, fs, fs, ms, ms],
+            in_specs=[cs, cs, fs, fs, fs, fs, fs, ms, ms],
             out_specs=(fs, fs, fs),
-        )(x1, y1, z1, x2, y2, qi, va)
+        )(p_arr, one_arr, x1, y1, z1, x2, y2, qi, va)
 
     return call
 
@@ -253,24 +159,25 @@ def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
 @functools.lru_cache(maxsize=None)
 def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
     from jax.experimental import pallas as pl
-    F = _F(tuple(int(v) for v in int_to_limbs(p, N)), n0inv)
-    F._one_val = one_mont
+    p_arr, one_arr = _const_operands(p, N, one_mont)
 
-    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        F = _F(p_ref[...], n0inv, one_ref[...])
         X3, Y3, Z3 = _ec_add(F, x1[...], y1[...], z1[...],
                              x2[...], y2[...], z2[...])
         ox[...], oy[...], oz[...] = X3, Y3, Z3
 
     block = min(_BLOCK, L)
     fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
     shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1, x2, y2, z2):
         return pl.pallas_call(
             kernel, out_shape=(shp, shp, shp), grid=(L // block,),
-            in_specs=[fs] * 6, out_specs=(fs, fs, fs),
-        )(x1, y1, z1, x2, y2, z2)
+            in_specs=[cs, cs] + [fs] * 6, out_specs=(fs, fs, fs),
+        )(p_arr, one_arr, x1, y1, z1, x2, y2, z2)
 
     return call
 
@@ -279,10 +186,10 @@ def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
 def _build_dbl(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
                reps: int):
     from jax.experimental import pallas as pl
-    F = _F(tuple(int(v) for v in int_to_limbs(p, N)), n0inv)
-    F._one_val = one_mont
+    p_arr, one_arr = _const_operands(p, N, one_mont)
 
-    def kernel(x1, y1, z1, ox, oy, oz):
+    def kernel(p_ref, one_ref, x1, y1, z1, ox, oy, oz):
+        F = _F(p_ref[...], n0inv, one_ref[...])
         X, Y, Z = x1[...], y1[...], z1[...]
         for _ in range(reps):
             X, Y, Z = _ec_dbl(F, X, Y, Z)
@@ -290,14 +197,15 @@ def _build_dbl(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
 
     block = min(_BLOCK, L)
     fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
     shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1):
         return pl.pallas_call(
             kernel, out_shape=(shp, shp, shp), grid=(L // block,),
-            in_specs=[fs] * 3, out_specs=(fs, fs, fs),
-        )(x1, y1, z1)
+            in_specs=[cs, cs] + [fs] * 3, out_specs=(fs, fs, fs),
+        )(p_arr, one_arr, x1, y1, z1)
 
     return call
 

@@ -2,17 +2,23 @@
 
 The jnp scan-based FpKernel.mul costs ~50 tiny kernel dispatches per
 multiply (~0.35ms on v5e regardless of batch size -- pure per-op
-overhead; measured via /tmp profiling, 2026-08). This kernel runs the
-whole CIOS pipeline -- 16 statically-unrolled limb steps, carry
-propagation, conditional subtract -- inside ONE VMEM-resident kernel:
-one launch per multiply.
+overhead). This kernel runs the whole CIOS pipeline inside ONE
+VMEM-resident kernel: one launch per multiply.
+
+v2 (round 2): all hot ops are 2D (N, L) tile ops. The round-1 kernel
+processed each limb row as a separate 1D (L,) op -- 1 of 8 sublanes
+utilized, measured ~25x off VPU speed-of-light on the madd kernel. The
+CIOS limb loop is unrolled with a FLAT (2N+2, L) accumulator and static
+slice updates at offset i (no per-step shifts); only the final carry /
+conditional-subtract chains remain sequential row ops.
 
 Layout: (N, L) uint32, limbs on sublanes (N=16 -> two 8x128 u32 tiles),
 batch on lanes. The wrapper flattens/pads arbitrary trailing batch dims
-to a lane count divisible by the block size.
+to a lane count divisible by the block size. The modulus limbs enter as
+a real (N, 1) operand (broadcast against the block).
 
-Reference role: libff Fp_model mul -- this is the TPU speed-of-light
-path the design doc (SURVEY.md section 6) budgets around.
+Reference role: libff Fp_model mul -- the TPU speed-of-light path the
+design doc (SURVEY.md section 6) budgets around.
 """
 from __future__ import annotations
 
@@ -42,64 +48,161 @@ def pallas_enabled() -> bool:
         return False
 
 
-def _mul_body(a, b, p_list, n0inv, N):
-    """CIOS on (N, L) values; statically unrolled; returns (N, L) < p.
+# --------------------------------------------------------------- kernel math
+#
+# All helpers operate on (N, L) uint32 2D arrays; p_col is an (N, 1)
+# uint32 operand. Sequential carry/borrow chains build a python list of
+# (1, L) rows and stack once.
 
-    p_list: python-int limbs (scalar constants fold into the ops --
-    pallas kernels may not capture array constants). Column invariants
-    match ops/fp.py (lazy u32 columns < 2^23)."""
-    L = a.shape[1]
-    acc = [jnp.zeros((L,), jnp.uint32) for _ in range(N + 2)]
-    for i in range(N):
-        ai = a[i][None]                      # (1, L)
-        prod = ai * b                        # (N, L) exact
-        lo, hi = prod & LIMB_MASK, prod >> LIMB_BITS
-        for j in range(N):
-            acc[j] = acc[j] + lo[j]
-            acc[j + 1] = acc[j + 1] + hi[j]
-        u = ((acc[0] & LIMB_MASK) * n0inv) & LIMB_MASK
-        for j in range(N):
-            pr = u * p_list[j]               # scalar-constant multiply
-            acc[j] = acc[j] + (pr & LIMB_MASK)
-            acc[j + 1] = acc[j + 1] + (pr >> LIMB_BITS)
-        acc[1] = acc[1] + (acc[0] >> LIMB_BITS)
-        acc = acc[1:] + [jnp.zeros((L,), jnp.uint32)]
-    # full carry propagation to N+1 limbs
+def _carry_rows(rows, out_len):
+    """Full carry propagation over a list of (1, L) lazy column rows
+    (values < ~2^30) -> out_len rows < 2^16."""
     outs = []
-    carry = jnp.zeros((L,), jnp.uint32)
-    for k in range(N + 2):
-        v = acc[k] + carry
+    c = jnp.zeros_like(rows[0])
+    for r in rows:
+        v = r + c
         outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    res = outs[: N + 1]
-    # conditional subtract p (extended with a zero limb)
-    p_ext = list(p_list) + [0]
-    borrow = jnp.zeros((L,), jnp.int32)
+        c = v >> LIMB_BITS
+    while len(outs) < out_len:
+        outs.append(c & LIMB_MASK)
+        c = c >> LIMB_BITS
+    return outs[:out_len]
+
+
+def _rows(a):
+    """Split (K, L) into K (1, L) rows."""
+    return [a[k:k + 1] for k in range(a.shape[0])]
+
+
+def _cond_sub_rows(res_rows, p_col, N):
+    """res_rows: N+1 (1, L) rows, value < 2p -> (N, L) canonical < p."""
+    p_rows = [p_col[k:k + 1].astype(jnp.int32) for k in range(N)] + [None]
+    borrow = jnp.zeros_like(res_rows[0], dtype=jnp.int32)
     diff = []
     for k in range(N + 1):
-        d = res[k].astype(jnp.int32) - p_ext[k] - borrow
+        d = res_rows[k].astype(jnp.int32) - borrow
+        if p_rows[k] is not None:
+            d = d - p_rows[k]
         borrow = (d < 0).astype(jnp.int32)
         diff.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
     keep = borrow != 0                        # res < p -> keep res
-    out = [jnp.where(keep, res[k], diff[k]) for k in range(N)]
-    return jnp.stack(out, axis=0)
+    out = [jnp.where(keep, res_rows[k], diff[k]) for k in range(N)]
+    return jnp.concatenate(out, axis=0)
 
+
+def _add_at(acc, off, val):
+    """acc[off:off+rows(val)] += val. Mosaic supports neither scatter-add
+    nor dynamic_(update_)slice on values, so place via a static zero-pad
+    and add full-height."""
+    K = acc.shape[0]
+    return acc + jnp.pad(val, ((off, K - off - val.shape[0]), (0, 0)))
+
+
+def _mul_body(a, b, p_col, n0inv, N):
+    """CIOS Montgomery product on (N, L) canonical operands -> (N, L) < p.
+
+    Flat-accumulator unrolled CIOS: column j of the running value lives
+    in acc[j]; after step i folds u_i*p, column i is == 0 mod 2^16 and
+    its carry is folded into column i+1. Lazy columns stay < 2^23.
+    """
+    L = a.shape[1]
+    acc = jnp.zeros((2 * N + 2, L), jnp.uint32)
+    for i in range(N):
+        prod = a[i:i + 1] * b                      # (N, L) exact u32
+        acc = _add_at(acc, i, prod & LIMB_MASK)
+        acc = _add_at(acc, i + 1, prod >> LIMB_BITS)
+        u = ((acc[i:i + 1] & LIMB_MASK) * n0inv) & LIMB_MASK   # (1, L)
+        pr = u * p_col                             # (N, L) broadcast
+        acc = _add_at(acc, i, pr & LIMB_MASK)
+        acc = _add_at(acc, i + 1, pr >> LIMB_BITS)
+        acc = _add_at(acc, i + 1, acc[i:i + 1] >> LIMB_BITS)
+    res = _carry_rows(_rows(acc[N:2 * N + 2]), N + 1)
+    return _cond_sub_rows(res, p_col, N)
+
+
+def _fadd(a, b, p_col):
+    N = p_col.shape[0]
+    cols = a + b                                   # (N, L) lazy < 2^17
+    res = _carry_rows(_rows(cols), N + 1)
+    return _cond_sub_rows(res, p_col, N)
+
+
+def _fsub(a, b, p_col):
+    N = p_col.shape[0]
+    ai = a.astype(jnp.int32)
+    bi = b.astype(jnp.int32)
+    borrow = jnp.zeros((1, a.shape[1]), jnp.int32)
+    diff = []
+    for k in range(N):
+        d = ai[k:k + 1] - bi[k:k + 1] - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        diff.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    under = borrow != 0                            # (1, L)
+    fix = jnp.where(under, p_col, jnp.zeros_like(p_col))   # (N, L)
+    cols = jnp.concatenate(diff, axis=0) + fix
+    return jnp.concatenate(_carry_rows(_rows(cols), N), axis=0)
+
+
+def _fzero_mask(a):
+    """(1, L) bool: a == 0 across limbs."""
+    return jnp.all(a == 0, axis=0, keepdims=True)
+
+
+def _fselect(cond, a, b):
+    """cond: (1, L) bool."""
+    return jnp.where(cond, a, b)
+
+
+class _F:
+    """Field-op bundle for kernel bodies; p_col is a traced (N, 1)
+    operand, one_col the Montgomery one (N, 1)."""
+
+    def __init__(self, p_col, n0inv, one_col=None):
+        self.p_col = p_col
+        self.n0inv = n0inv
+        self.one_col = one_col
+        self.N = p_col.shape[0]
+
+    def mul(self, a, b):
+        return _mul_body(a, b, self.p_col, self.n0inv, self.N)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        return _fadd(a, b, self.p_col)
+
+    def sub(self, a, b):
+        return _fsub(a, b, self.p_col)
+
+    def dbl(self, a):
+        return _fadd(a, a, self.p_col)
+
+    def one(self, like):
+        return jnp.broadcast_to(self.one_col, like.shape).astype(jnp.uint32)
+
+    def zero(self, like):
+        return jnp.zeros_like(like)
+
+
+# ------------------------------------------------------------------ builders
 
 @functools.lru_cache(maxsize=None)
 def _build_mul(p: int, N: int, n0inv: int, L: int):
-    """pallas_call for (N, L) x (N, L) -> (N, L); L % _BLOCK == 0 or
-    L <= _BLOCK with a single block."""
+    """pallas_call for (N, L) x (N, L) -> (N, L); L % block == 0."""
     from jax.experimental import pallas as pl
 
-    from .limbs import int_to_limbs
-    p_list = tuple(int(v) for v in int_to_limbs(p, N))
-
-    def kernel(a_ref, b_ref, o_ref):
-        o_ref[...] = _mul_body(a_ref[...], b_ref[...], p_list, n0inv, N)
+    def kernel(p_ref, a_ref, b_ref, o_ref):
+        o_ref[...] = _mul_body(a_ref[...], b_ref[...], p_ref[...],
+                               n0inv, N)
 
     block = min(_BLOCK, L)
     grid = (L // block,)
     spec = pl.BlockSpec((N, block), lambda i: (0, i))
+    pspec = pl.BlockSpec((N, 1), lambda i: (0, 0))
+
+    from .limbs import int_to_limbs
+    p_arr = jnp.asarray(int_to_limbs(p, N)).reshape(N, 1)
 
     @jax.jit
     def call(a, b):
@@ -107,9 +210,9 @@ def _build_mul(p: int, N: int, n0inv: int, L: int):
             kernel,
             out_shape=jax.ShapeDtypeStruct((N, L), jnp.uint32),
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[pspec, spec, spec],
             out_specs=spec,
-        )(a, b)
+        )(p_arr, a, b)
 
     return call
 

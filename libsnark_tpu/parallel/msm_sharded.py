@@ -23,12 +23,38 @@ from jax import shard_map
 
 
 def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
-                c: int = 8):
+                c: int = 8, affine: bool = False):
     """MSM with the batch (last) axis of points/scalars sharded on `axis`.
 
     points_aff: (x, y, inf) global arrays; scalars (NL, m). Returns a
-    Jacobian point (batch (1,)), replicated.
+    Jacobian point (batch (1,)), replicated -- or affine (x, y, inf)
+    when ``affine=True`` (the to_affine runs inside the same program).
+
+    The whole pipeline (shard_map window sums + cross-device tree add +
+    Horner combine) is ONE jitted program, cached per
+    (kernel, mesh, axis, c, shapes) -- repeated queries of the same shape
+    (A/B1/H/L in a Groth16 prove) reuse one executable instead of
+    re-tracing an eager shard_map per call.
     """
+    key = (msm_kernel, mesh, axis, c, affine,
+           tuple(a.shape for a in points_aff), scalars.shape)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        import jax as _jax
+
+        def run(pts, sc):
+            out = _sharded_msm_impl(msm_kernel, mesh, axis, pts, sc, c)
+            return msm_kernel.ck.to_affine(out) if affine else out
+
+        fn = _SHARDED_CACHE[key] = _jax.jit(run)
+    return fn(points_aff, scalars)
+
+
+_SHARDED_CACHE = {}
+
+
+def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
+                      scalars, c: int):
     ck = msm_kernel.ck
 
     ndim_x = points_aff[0].ndim
@@ -42,7 +68,7 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
     )
 
     def local(pts, sc):
-        S = msm_kernel.window_sums(pts, sc, c)      # (W, ..coords.., 1)
+        S = msm_kernel.window_sums_auto(pts, sc, c)  # (W, ..coords.., 1)
         # kernels expect limbs leading / batch trailing: move the window
         # axis into the batch position for the cross-device adds
         S = tuple(jnp.moveaxis(a, 0, -2) for a in S)   # (.., W, 1)

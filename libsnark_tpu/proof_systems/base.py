@@ -77,10 +77,25 @@ class PairingSystem:
     def fixed_base_g1(self, base_host, scalars, c=8):
         """[s * base for s in scalars] as device affine G1 (x, y, inf),
         PADDED to the enclosing power-of-two bucket (pad = infinity)."""
+        if self.host_keygen:
+            return self._fixed_base_host(self.g1, base_host, scalars)
         return self._fixed_base(self.g1, self.msm_g1, base_host, scalars, c)
 
     def fixed_base_g2(self, base_host, scalars, c=8):
+        if self.host_keygen:
+            return self._fixed_base_host(self.g2, base_host, scalars)
         return self._fixed_base(self.g2, self.msm_g2, base_host, scalars, c)
+
+    # Pure-Python fixed-base path: no XLA programs at all. Used by tiny
+    # circuits (driver dryrun, unit tests) where the device table-build
+    # compile would dwarf the work; enable via `system.host_keygen = True`.
+    host_keygen = False
+
+    def _fixed_base_host(self, ck, base_host, scalars):
+        pts = [base_host * int(s) for s in scalars]
+        zero = base_host.group.zero()
+        pts += [zero] * (self.bucket(len(pts)) - len(pts))
+        return ck.encode_points(pts, jacobian=False)
 
     def _fixed_base(self, ck, mk, base_host, scalars, c):
         W = -(-self.curve.r.bit_length() // c)

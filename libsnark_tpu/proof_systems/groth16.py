@@ -68,6 +68,16 @@ class Groth16VerificationKey:
 
 
 @dataclasses.dataclass
+class Groth16ProcessedVK:
+    """Online-verification state (r1cs_gg_ppzksnark_processed_verification_key,
+    tcc:605-621): e(alpha, beta) plus G2 Miller-loop embeddings."""
+    alpha_beta_gt: object
+    gamma_g2_precomp: object
+    delta_g2_precomp: object
+    gamma_ABC: list
+
+
+@dataclasses.dataclass
 class Groth16Keypair:
     pk: Groth16ProvingKey
     vk: Groth16VerificationKey
@@ -227,24 +237,31 @@ class Groth16(PairingSystem):
         msm_c = max(4, default_window_bits(dev.num_variables + 1))
 
         with mesh:
-            H = qap_witness_map(dev, domain, assignment_mont)
-            H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
-            assign_plain = self.fr.from_mont(assignment_mont)
-            aux_plain = assign_plain[..., dev.num_inputs + 1:]
+            # witness map as ONE jitted program (cached per pk); eager
+            # op-by-op dispatch on a mesh compiles hundreds of tiny
+            # partitioned executables -- the round-1 dryrun timeout
+            wm = getattr(pk, "_wm_sharded_jit", None)
+            if wm is None:
+                def wm_fn(assign_mont):
+                    H = qap_witness_map(dev, domain, assign_mont)
+                    H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
+                    assign_plain = self.fr.from_mont(assign_mont)
+                    aux_plain = assign_plain[..., dev.num_inputs + 1:]
+                    return H_plain, assign_plain, aux_plain
+                wm = pk._wm_sharded_jit = jax.jit(wm_fn)
+            H_plain, assign_plain, aux_plain = wm(assignment_mont)
 
             def smsm(mk, q, sc):
                 sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket
                 q2, sc2 = pad_for_mesh(q, sc, D)
-                return sharded_msm(mk, mesh, axis, q2, sc2, c=msm_c)
+                return sharded_msm(mk, mesh, axis, q2, sc2, c=msm_c,
+                                   affine=True)
 
-            At = smsm(self.msm_g1, pk.A_query, assign_plain)
-            Bt2 = smsm(self.msm_g2, pk.B_query_g2, assign_plain)
-            Bt1 = smsm(self.msm_g1, pk.B_query_g1, assign_plain)
-            Ht = smsm(self.msm_g1, pk.H_query, H_plain)
-            Lt = smsm(self.msm_g1, pk.L_query, aux_plain)
-            outs = (self.g1.to_affine(At), self.g2.to_affine(Bt2),
-                    self.g1.to_affine(Bt1), self.g1.to_affine(Ht),
-                    self.g1.to_affine(Lt))
+            outs = (smsm(self.msm_g1, pk.A_query, assign_plain),
+                    smsm(self.msm_g2, pk.B_query_g2, assign_plain),
+                    smsm(self.msm_g1, pk.B_query_g1, assign_plain),
+                    smsm(self.msm_g1, pk.H_query, H_plain),
+                    smsm(self.msm_g1, pk.L_query, aux_plain))
 
         At_a, Bt2_a, Bt1_a, Ht_a, Lt_a = outs
         dec1, dec2 = self.decode_g1, self.decode_g2
@@ -280,3 +297,48 @@ class Groth16(PairingSystem):
             (-acc, vk.gamma_g2),
             (-proof.g_C, vk.delta_g2),
         ])
+
+    # -- processed vk + online verifiers --------------------------------------
+    # (r1cs_gg_ppzksnark_verifier_process_vk / online_verifier_*_IC,
+    # reference r1cs_gg_ppzksnark.tcc:605-745: hoist the e(alpha, beta)
+    # pairing and the G2 Miller-loop embeddings out of per-proof work)
+    def verifier_process_vk(self, vk):
+        eng = self.curve.pairing_engine
+        return Groth16ProcessedVK(
+            alpha_beta_gt=self.curve.pairing(vk.alpha_g1, vk.beta_g2),
+            gamma_g2_precomp=eng.embed_g2(vk.gamma_g2),
+            delta_g2_precomp=eng.embed_g2(vk.delta_g2),
+            gamma_ABC=vk.gamma_ABC)
+
+    def online_verifier_strong_IC(self, pvk, primary: list, proof) -> bool:
+        if len(primary) + 1 != len(pvk.gamma_ABC):
+            return False
+        return self.online_verifier_weak_IC(pvk, primary, proof)
+
+    def online_verifier_weak_IC(self, pvk, primary: list, proof) -> bool:
+        curve, r = self.curve, self.curve.r
+        eng = curve.pairing_engine
+        if len(primary) + 1 > len(pvk.gamma_ABC):
+            return False
+        if not (proof.g_A.is_well_formed() and proof.g_B.is_well_formed()
+                and proof.g_C.is_well_formed()):
+            return False
+        acc = pvk.gamma_ABC[0]
+        for i, x in enumerate(primary):
+            acc = acc + pvk.gamma_ABC[i + 1] * (x % r)
+        # e(A, B) / (e(acc, gamma) e(C, delta)) == e(alpha, beta)
+        f = eng.miller_loop(eng.embed_g2(proof.g_B), eng.embed_g1(proof.g_A))
+        if not acc.is_zero():
+            f = f * eng.miller_loop(pvk.gamma_g2_precomp,
+                                    eng.embed_g1(-acc))
+        if not proof.g_C.is_zero():
+            f = f * eng.miller_loop(pvk.delta_g2_precomp,
+                                    eng.embed_g1(-proof.g_C))
+        return eng.final_exponentiation(f) == pvk.alpha_beta_gt
+
+    def verifier_affine(self, vk, primary: list, proof) -> bool:
+        """Affine-ate verifier variant (tcc:748-816). The host engine's
+        Miller loop already works on affine embeddings (no projective
+        line state), so this is the same computation -- kept as a
+        separate entry point for API parity."""
+        return self.verifier_strong_IC(vk, primary, proof)

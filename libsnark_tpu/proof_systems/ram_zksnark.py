@@ -228,7 +228,10 @@ class RamCompliancePredicate:
         # ---- CPU step -----------------------------------------------------
         self.instruction = PBVariable().allocate(pb, "instr")
         self.mem_addr = PBVariable().allocate(pb, "mem_addr")
-        self.mem_in = PBVariable().allocate(pb, "mem_in")
+        # prev_val doubles as the checker's mem_in (the PREV dword cell,
+        # Merkle-checked under root_in); mem_out is the NEXT dword
+        self.prev_val = PBVariable().allocate(pb, "prev_val")
+        self.mem_in = self.prev_val
         self.mem_out = PBVariable().allocate(pb, "mem_out")
         self.mem_is_store = PBVariable().allocate(pb, "mem_is_store")
         self.cpu = TinyRAMCPUChecker(
@@ -252,7 +255,6 @@ class RamCompliancePredicate:
         self.maddr_bits = PBVariableArray().allocate(pb, d, "mab")
         self.maddr_pack = PackingGadget(pb, self.maddr_bits, self.mem_addr,
                                         "map")
-        self.prev_val = PBVariable().allocate(pb, "prev_val")
         self.prev_bits = PBVariableArray().allocate(pb, 2 * ap.w, "pvb")
         self.prev_pack = PackingGadget(pb, self.prev_bits, self.prev_val,
                                        "pvp")
@@ -331,10 +333,8 @@ class RamCompliancePredicate:
         self.prev_path.generate_r1cs_constraints()
         self.next_path.generate_r1cs_constraints()
         self.update.generate_r1cs_constraints()
-        # loads (and dummy reads) must see the previous value
-        pb.add_r1cs_constraint(1 - _lc(self.mem_is_store),
-                               _lc(self.prev_val) - self.mem_out, 0,
-                               "load_prev")
+        # (loads seeing the previous value is the checker's rmw_identity
+        # constraint: mem_in IS prev_val here)
         # acceptance: answering 0
         self.az_gadget.generate_r1cs_constraints()
         pb.add_r1cs_constraint(
@@ -360,18 +360,18 @@ class RamCompliancePredicate:
         self.cpu.generate_r1cs_witness(step)
         self.fetch_path.generate_r1cs_witness(step.pc, fetch_path)
 
-        # data op
+        # data op (read-modify-write of one dword cell)
         if step.mem_op:
-            kind, addr, val = step.mem_op
+            kind, addr, before, after = step.mem_op
         else:
-            kind, addr, val = "r", arch.dummy_addr, 0
-        prev_val = mem.get_value(addr) if kind == "w" else val
-        pb.setval(self.prev_val, prev_val)
+            kind, addr, before, after = "r", arch.dummy_addr, 0, 0
+        assert mem.get_value(addr) == before, "memory state mismatch"
+        pb.setval(self.prev_val, before)
         self.prev_pack.generate_r1cs_witness_from_packed()
         self.next_pack.generate_r1cs_witness_from_packed()
         self.maddr_pack.generate_r1cs_witness_from_packed()
         prev_path = mem.get_path(addr)
-        mem.set_value(addr, val)           # loads rewrite the same value
+        mem.set_value(addr, after)         # loads rewrite the same value
         next_path = mem.get_path(addr)
         self.prev_path.generate_r1cs_witness(addr, prev_path)
         self.next_path.generate_r1cs_witness(addr, next_path)

@@ -103,6 +103,16 @@ class TinyRAMParams:
     def dwaddr_len(self):
         return self.w - ((2 * self.w - 1).bit_length() - self.w.bit_length())
 
+    @property
+    def bytes_in_word(self):
+        return self.w // 8
+
+    @property
+    def subaddr_len(self):
+        """Bits of a byte address that select within one double word
+        (tinyram_protoboard subaddr_len: log2(2w/8))."""
+        return max(1, (2 * self.bytes_in_word - 1).bit_length())
+
     def initial_pc_addr(self) -> int:
         return 0
 
@@ -316,15 +326,35 @@ def _execute_one_step(ap, ins, regs, flag, pc, mem, tapes, tape_pos, ts):
         next_pc = a2 if flag else next_pc
     elif op == Opcode.CNJMP:
         next_pc = next_pc if flag else a2
-    elif op in (Opcode.STOREB, Opcode.STOREW):
-        # NB: STOREB stores the full word here (the in-circuit checker
-        # treats byte ops as word ops on byte-granular addresses)
-        mem[a2] = regs[des] & mask
-        mem_op = ("w", a2, mem[a2])
-    elif op in (Opcode.LOADB, Opcode.LOADW):
-        v = mem.get(a2, 0)
-        regs[des] = v
-        mem_op = ("r", a2, v)
+    elif op in (Opcode.STOREB, Opcode.STOREW, Opcode.LOADB, Opcode.LOADW):
+        # Memory is organized as double-word cells addressed by
+        # A >> subaddr_len; A is a BYTE address. Byte ops touch the
+        # (A mod 2w/8)-th byte; word ops touch the word selected by the
+        # subaddress MSB (reference tinyram_cpu_checker.tcc:398-434 +
+        # memory_masking_gadget). Every op is a read-modify-write on the
+        # dword cell: mem_op = (kind, dw_addr, before, after).
+        sal = ap.subaddr_len
+        dw_addr = a2 >> sal
+        sub = a2 & ((1 << sal) - 1)
+        before = mem.get(dw_addr, 0)
+        if op == Opcode.STOREB:
+            sh = 8 * sub
+            after = (before & ~(0xFF << sh)) | ((regs[des] & 0xFF) << sh)
+            mem[dw_addr] = after
+            mem_op = ("w", dw_addr, before, after)
+        elif op == Opcode.LOADB:
+            regs[des] = (before >> (8 * sub)) & 0xFF
+            mem_op = ("r", dw_addr, before, before)
+        elif op == Opcode.STOREW:
+            word_sel = (sub >> (sal - 1)) & 1
+            sh = w * word_sel
+            after = (before & ~(mask << sh)) | ((regs[des] & mask) << sh)
+            mem[dw_addr] = after
+            mem_op = ("w", dw_addr, before, after)
+        else:  # LOADW
+            word_sel = (sub >> (sal - 1)) & 1
+            regs[des] = (before >> (w * word_sel)) & mask
+            mem_op = ("r", dw_addr, before, before)
     elif op == Opcode.READ:
         tid = a2 & 1
         if a2 < 2 and tape_pos[tid] < len(tapes[tid]):

@@ -99,3 +99,47 @@ def test_cpu_checker_memory_and_read():
     prog.add(Opcode.ANSWER, True, 0, 0, 0)
     answer, accepted = _check_trace(ap, prog, primary=[33])
     assert accepted
+
+
+def test_cpu_checker_rejects_tampered_byte_store():
+    """A STOREB step whose next-dword clobbers more than the addressed
+    byte must violate the masking constraints."""
+    import dataclasses
+    ap = TinyRAMParams(w=16, k=4)
+    prog = TinyRAMProgram()
+    prog.add(Opcode.MOV, True, 0, 0, 0xABCD)
+    prog.add(Opcode.STOREW, True, 0, 0, 100)
+    prog.add(Opcode.MOV, True, 1, 0, 0x77)
+    prog.add(Opcode.STOREB, True, 1, 0, 101)
+    prog.add(Opcode.ANSWER, True, 0, 0, 0)
+    ex = TinyRAMExecutor(ap, prog)
+    answer, accepted, trace = ex.run([], [])
+    step = next(s for s in trace
+                if s.instruction.opcode == Opcode.STOREB)
+    kind, addr, before, after = step.mem_op
+    assert after == 0x77CD
+    # tamper: pretend the store rewrote the whole dword
+    bad = dataclasses.replace(step, mem_op=(kind, addr, before, 0x7777))
+    pb = Protoboard(P)
+    regs_b = [PBVariable().allocate(pb, f"rb{j}") for j in range(ap.k)]
+    regs_a = [PBVariable().allocate(pb, f"ra{j}") for j in range(ap.k)]
+    flag_b = PBVariable().allocate(pb, "fb")
+    flag_a = PBVariable().allocate(pb, "fa")
+    pc_b = PBVariable().allocate(pb, "pcb")
+    pc_a = PBVariable().allocate(pb, "pca")
+    instr = PBVariable().allocate(pb, "instr")
+    mem_addr = PBVariable().allocate(pb, "maddr")
+    mem_in = PBVariable().allocate(pb, "min")
+    mem_out = PBVariable().allocate(pb, "mout")
+    mem_st = PBVariable().allocate(pb, "mst")
+    g = TinyRAMCPUChecker(pb, ap, regs_b, flag_b, pc_b,
+                          regs_a, flag_a, pc_a, instr,
+                          mem_addr, mem_in, mem_out, mem_st, "cpu")
+    g.generate_r1cs_constraints()
+    for j in range(ap.k):
+        pb.setval(regs_b[j], bad.regs_before[j])
+    pb.setval(flag_b, 1 if bad.flag_before else 0)
+    pb.setval(pc_b, bad.pc)
+    pb.setval(instr, bad.instruction.as_dword(ap))
+    g.generate_r1cs_witness(bad)
+    assert pb.first_unsatisfied() is not None

@@ -45,8 +45,36 @@ def test_executor_memory_and_tape():
     ex = TinyRAMExecutor(ap, prog)
     answer, accepted, trace = ex.run([21], [])
     assert accepted
+    # byte address 64 -> dword cell 16 (subaddr_len=2), lower word
     mem_ops = [s.mem_op for s in trace if s.mem_op]
-    assert mem_ops == [("w", 64, 21), ("r", 64, 21)]
+    assert mem_ops == [("w", 16, 0, 21), ("r", 16, 21, 21)]
+
+
+def test_executor_byte_semantics():
+    """STOREB/LOADB act on single bytes of a dword cell (ISA parity;
+    reference tinyram_cpu_checker.tcc:398-434 memory model)."""
+    ap = TinyRAMParams(w=16, k=8)
+    sal = ap.subaddr_len
+    assert sal == 2                            # 4 bytes per dword
+    prog = TinyRAMProgram()
+    prog.add(Opcode.MOV, True, 0, 0, 0xABCD)
+    prog.add(Opcode.STOREW, True, 0, 0, 100)   # dword 25, word 0
+    prog.add(Opcode.MOV, True, 1, 0, 0x7777)
+    prog.add(Opcode.STOREB, True, 1, 0, 101)   # byte 1 of dword 25
+    prog.add(Opcode.LOADW, True, 2, 0, 100)    # word 0 back
+    prog.add(Opcode.LOADB, True, 3, 0, 100)    # byte 0
+    prog.add(Opcode.LOADB, True, 4, 0, 101)    # byte 1 (overwritten)
+    prog.add(Opcode.STOREW, True, 0, 0, 102)   # word 1 of the same dword
+    prog.add(Opcode.LOADB, True, 5, 0, 103)    # byte 3
+    prog.add(Opcode.ANSWER, True, 0, 0, 0)
+    ex = TinyRAMExecutor(ap, prog)
+    answer, accepted, trace = ex.run([], [])
+    assert accepted
+    final_regs = trace[-1].regs_before
+    assert final_regs[2] == 0x77CD             # byte 1 replaced by 0x77
+    assert final_regs[3] == 0xCD               # low byte of stored word
+    assert final_regs[4] == 0x77               # the STOREB byte
+    assert final_regs[5] == 0xAB               # high byte of word 1
 
 
 def test_executor_control_flow():
