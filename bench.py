@@ -116,6 +116,48 @@ def main():
     print(f"# m=2^{log2m} c={c} best={best:.3f}s times={times} "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
+    # ---- secondary metrics (BASELINE: 2^16 radix-2 iFFT) -> stderr +
+    # BENCH_EXTRA.json (the driver contract keeps stdout to ONE line)
+    extras = []
+    try:
+        from libsnark_tpu.ops.ntt import Radix2Domain
+        logn = int(os.environ.get("BENCH_LOG2_NTT", "16"))
+        dom = Radix2Domain(FpKernel(curve.fr_params), curve.fr_params, logn)
+        nlr = -(-curve.r.bit_length() // LIMB_BITS)
+
+        def fresh_poly():
+            v = rng.integers(0, 1 << 16, size=(nlr, 1 << logn),
+                             dtype=np.uint32)
+            v[-1] &= 0x2FFF
+            return jax.device_put(jnp.asarray(v))
+
+        ifft = jax.jit(dom.ifft)
+        drain(ifft(fresh_poly()))
+        nt = []
+        for _ in range(iters):
+            a = fresh_poly()
+            drain(a)
+            t0 = time.monotonic()
+            drain(ifft(a))
+            nt.append(time.monotonic() - t0)
+        extras.append({
+            "metric": f"ifft_fr_elems_per_s_2e{logn}",
+            "value": round((1 << logn) / min(nt), 1),
+            "unit": "elements/s/chip",
+            "seconds": round(min(nt), 4)})
+        print(f"# ifft 2^{logn} best={min(nt):.4f}s", file=sys.stderr)
+    except Exception as e:  # secondary metrics must never break the bench
+        print(f"# ntt bench failed: {e!r}", file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BENCH_EXTRA.json"), "w") as f:
+            json.dump({"msm": {"points_per_s": round(pps, 1),
+                               "seconds": round(best, 4), "c": c,
+                               "log2m": log2m},
+                       "extras": extras}, f, indent=1)
+    except Exception:
+        pass
+
 
 if __name__ == "__main__":
     main()

@@ -138,9 +138,15 @@ class MSMKernel:
         return self.combine_windows(S, c)
 
     def window_sums_auto(self, points_aff, scalars, c: int):
-        """Dense bucket-matrix path by default (LIBSNARK_TPU_MSM_DENSE=0
-        selects the legacy sequential rake)."""
-        if os.environ.get("LIBSNARK_TPU_MSM_DENSE", "1") == "1":
+        """Dense bucket-matrix path for large batches; the sequential
+        rake below the threshold (the rake's per-round cost only hurts
+        at scale, and the dense graph compiles slower -- not worth it
+        for tiny MSMs). LIBSNARK_TPU_MSM_DENSE: 1 force dense, 0 force
+        rake, auto = by size."""
+        flag = os.environ.get("LIBSNARK_TPU_MSM_DENSE", "auto")
+        m = scalars.shape[-1]
+        use_dense = (flag == "1" or (flag not in ("0",) and m >= 2048))
+        if use_dense:
             return self.window_sums_dense(points_aff, scalars, c)
         return self.window_sums(points_aff, scalars, c)
 

@@ -122,8 +122,10 @@ def _ec_add(F, X1, Y1, Z1, X2, Y2, Z2):
 # ------------------------------------------------------------------- builders
 
 def _const_operands(p: int, N: int, one_mont: tuple):
-    p_arr = jnp.asarray(int_to_limbs(p, N)).reshape(N, 1)
-    one_arr = jnp.asarray(np.array(one_mont, dtype=np.uint32)).reshape(N, 1)
+    # numpy, NOT jnp: builders can be first invoked inside an active
+    # trace, where jnp constants would leak as tracers
+    p_arr = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
+    one_arr = np.array(one_mont, dtype=np.uint32).reshape(N, 1)
     return p_arr, one_arr
 
 

@@ -202,7 +202,9 @@ def _build_mul(p: int, N: int, n0inv: int, L: int):
     pspec = pl.BlockSpec((N, 1), lambda i: (0, 0))
 
     from .limbs import int_to_limbs
-    p_arr = jnp.asarray(int_to_limbs(p, N)).reshape(N, 1)
+    # numpy, NOT jnp: _build_mul can be first invoked inside an active
+    # trace (lru cache miss), where a jnp constant would leak as a tracer
+    p_arr = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
 
     @jax.jit
     def call(a, b):

@@ -217,9 +217,13 @@ class RamCompliancePredicate:
         self.ds = ds = p.bit_length()          # knapsack digest bits
         pb = self.pb = Protoboard(p)
 
-        # primary input FIRST
-        self.h = PBVariable().allocate(pb, "h")
-        pb.set_input_sizes(1)
+        # primary input FIRST: separate hashes of msg_in and msg_out so
+        # the outer aggregation circuit chains steps by SHARING the
+        # h_out_i / h_in_{i+1} input-bit blocks (sound linkage without
+        # non-native hashing; cf. r1cs_sp_ppzkpcd's statement binding)
+        self.h_in = PBVariable().allocate(pb, "h_in")
+        self.h_out = PBVariable().allocate(pb, "h_out")
+        pb.set_input_sizes(2)
 
         self.zero = PBVariable().allocate(pb, "zero")
         self.msg_in = _MsgVars(pb, arch, ds, "in")
@@ -291,10 +295,13 @@ class RamCompliancePredicate:
         pb.add_r1cs_constraint(1, self.zero, 0, "zero")
         mi.generate_r1cs_constraints(pb, "in")
         mo.generate_r1cs_constraints(pb, "out")
-        # statement hash over (msg_in || msg_out) bits: one linear row
-        self.hash_gadget = KnapsackCRHFieldOutGadget(
-            pb, mi.all_bits() + mo.all_bits(), [self.h], 1, "stmt")
-        self.hash_gadget.generate_r1cs_constraints()
+        # statement hashes (one linear row each)
+        self.hash_in_gadget = KnapsackCRHFieldOutGadget(
+            pb, mi.all_bits(), [self.h_in], 1, "stmt_in")
+        self.hash_in_gadget.generate_r1cs_constraints()
+        self.hash_out_gadget = KnapsackCRHFieldOutGadget(
+            pb, mo.all_bits(), [self.h_out], 1, "stmt_out")
+        self.hash_out_gadget.generate_r1cs_constraints()
         # clocking
         pb.add_r1cs_constraint(1, _lc(mi.ts) + 1, mo.ts, "ts_incr")
         # initial values propagate unchanged
@@ -395,19 +402,26 @@ class RamCompliancePredicate:
         self.base_gadget.generate_r1cs_witness()
         self.fetch.generate_r1cs_witness()
         self.update.generate_r1cs_witness()
-        self.hash_gadget.generate_r1cs_witness()
+        self.hash_in_gadget.generate_r1cs_witness()
+        self.hash_out_gadget.generate_r1cs_witness()
         return msg_out
 
     def statement(self, msg_in: RamPCDMessage,
-                  msg_out: RamPCDMessage) -> int:
-        """Host-side h (what the snark verifier checks against)."""
-        return statement_hash(self.p, self.arch, msg_in, msg_out)
+                  msg_out: RamPCDMessage) -> List[int]:
+        """Host-side [h_in, h_out] (what the snark verifier checks)."""
+        return [message_hash(self.p, self.arch, msg_in),
+                message_hash(self.p, self.arch, msg_out)]
+
+
+def message_hash(p: int, arch: RamZkSnarkArchParams,
+                 msg: RamPCDMessage) -> int:
+    return knapsack_crh_field_eval(p, msg.payload_bits(arch), 1)[0]
 
 
 def statement_hash(p: int, arch: RamZkSnarkArchParams,
-                   msg_in: RamPCDMessage, msg_out: RamPCDMessage) -> int:
-    bits = msg_in.payload_bits(arch) + msg_out.payload_bits(arch)
-    return knapsack_crh_field_eval(p, bits, 1)[0]
+                   msg_in: RamPCDMessage, msg_out: RamPCDMessage):
+    """Back-compat helper: the pair of per-message hashes."""
+    return [message_hash(p, arch, msg_in), message_hash(p, arch, msg_out)]
 
 
 def make_delegated_memory(p: int, arch: RamZkSnarkArchParams,
@@ -572,35 +586,142 @@ class RamZkSnark:
                                         time_bound, msgs[0], msgs[-1]):
             return False
         ps = Groth16(self.curve)
+        hs = [message_hash(self.p, vk.arch, m) for m in msgs]
         for i, pi in enumerate(proof.inner_proofs):
-            h = statement_hash(self.p, vk.arch, msgs[i], msgs[i + 1])
-            if not ps.verifier_strong_IC(vk.inner_vk, [h], pi):
+            if not ps.verifier_strong_IC(vk.inner_vk,
+                                         [hs[i], hs[i + 1]], pi):
                 return False
         return True
 
     # ------------------------------------------------- outer aggregation
     def build_outer_circuit(self, outer_curve, inner_vk, arch,
                             time_bound: int):
-        """BW6-761 aggregation circuit: T verifier gadgets over shared
-        message-boundary variable blocks; chaining is structural. The
-        outer primary input is (h_1..h_T) -- each a hash binding one
-        inner statement; endpoint messages are re-derived by the outer
-        verifier from (boot, time_bound) + the final message exposed via
-        the last boundary block's hash."""
+        """BW6-761 aggregation circuit with SOUND chaining: one boundary
+        bit block per message hash h_0..h_T; verifier gadget i consumes
+        blocks (i, i+1) -- adjacent gadgets SHARE the block, so
+        h_out_i == h_in_{i+1} is structural. The outer primary input is
+        the endpoint blocks' bits (h_0, h_T); everything between is
+        witness (the succinct form: ram_zksnark.tcc:142's recursion,
+        bounded one level)."""
         from ..gadgets.verifier_gadgets import Groth16VerifierGadget
-        from ..gadgets.basic import ComparisonGadget
         assert outer_curve.r == self.curve.q
         pb = Protoboard(outer_curve.r)
         nbits = self.p.bit_length()
-        hs = [PBVariable().allocate(pb, f"h_{i}") for i in range(time_bound)]
-        pb.set_input_sizes(time_bound)
-        h_bits = [PBVariableArray().allocate(pb, nbits, f"hb_{i}")
-                  for i in range(time_bound)]
-        packs = [PackingGadget(pb, h_bits[i], hs[i], f"hp_{i}")
-                 for i in range(time_bound)]
+        # endpoint blocks FIRST (they are the primary input)
+        first = PBVariableArray().allocate(pb, nbits, "h_0")
+        last = PBVariableArray().allocate(pb, nbits, f"h_{time_bound}")
+        pb.set_input_sizes(2 * nbits)
+        blocks = [first]
+        for i in range(1, time_bound):
+            blocks.append(PBVariableArray().allocate(pb, nbits, f"h_{i}"))
+        blocks.append(last)
         gadgets = []
         for i in range(time_bound):
-            packs[i].generate_r1cs_constraints(True)
             gadgets.append(Groth16VerifierGadget(
-                pb, self.curve, inner_vk, [list(h_bits[i])], f"v{i}"))
-        return pb, hs, packs, gadgets
+                pb, self.curve, inner_vk,
+                [list(blocks[i]), list(blocks[i + 1])], f"v{i}"))
+        return pb, blocks, gadgets
+
+    # ------------------------------------------------ succinct two-level
+    def generator_succinct(self, arch: RamZkSnarkArchParams, outer_curve,
+                           time_bound: int, seed=None,
+                           host_keygen: bool = False):
+        """Keys for the chunked two-level system: inner step keys +
+        outer aggregation keys for a fixed time bound."""
+        from .groth16 import Groth16
+        kp = self.generator(arch, seed=seed)
+        g16o = Groth16(outer_curve)
+        g16o.host_keygen = host_keygen
+        pb, blocks, gadgets = self.build_outer_circuit(
+            outer_curve, kp.vk.inner_vk, arch, time_bound)
+        okp = g16o.generator(pb.get_constraint_system(),
+                             seed=None if seed is None else seed + 1)
+        return RamZkSnarkSuccinctKeypair(
+            inner=kp, outer_keypair=okp, outer_curve=outer_curve,
+            time_bound=time_bound)
+
+    def prover_succinct(self, skp: "RamZkSnarkSuccinctKeypair",
+                        program: TinyRAMProgram,
+                        primary_input: List[int], time_bound: int,
+                        aux_tape: List[int], seed=None):
+        """Per-step inner proves + ONE outer Groth16 proof over the
+        aggregation circuit. Returns RamZkSnarkSuccinctProof."""
+        from .groth16 import Groth16
+        assert time_bound == skp.time_bound
+        pk = skp.inner.pk
+        ps = Groth16(self.curve)
+        pred = self.predicate(pk.arch)
+        boot = tinyram_boot_trace(pk.arch.ap, program, primary_input)
+        mem = make_delegated_memory(self.p, pk.arch, boot)
+        ex = TinyRAMUnifiedExecutor(pk.arch.ap, program)
+        _, _, trace = ex.run_from_boot(boot, primary_input, aux_tape,
+                                       max_steps=time_bound)
+        while len(trace) < time_bound:
+            last = trace[-1]
+            trace.append(dataclasses.replace(
+                last, timestamp=last.timestamp + 1, pc=last.pc_after,
+                regs_before=list(last.regs_after),
+                flag_before=last.flag_after, mem_op=None))
+        msgs = [RamPCDMessage.initial(pk.arch, mem.get_root())]
+        proofs = []
+        for step in trace:
+            msgs.append(pred.witness_step(msgs[-1], step, mem))
+            proofs.append(ps.prover(pk.inner_pk, pred.pb.primary_input(),
+                                    pred.pb.auxiliary_input(), seed=seed))
+        # outer aggregation
+        g16o = Groth16(skp.outer_curve)
+        pb, blocks, gadgets = self.build_outer_circuit(
+            skp.outer_curve, skp.inner.vk.inner_vk, pk.arch, time_bound)
+        hs = [message_hash(self.p, pk.arch, m) for m in msgs]
+        for blk, h in zip(blocks, hs):
+            blk.fill_with_bits_of_int(pb, h)
+        for g, pi in zip(gadgets, proofs):
+            g.set_proof_witness(pi)
+        for g in gadgets:
+            g.generate_witness()
+        bad = pb.first_unsatisfied()
+        assert bad is None, f"outer aggregation unsatisfied: {bad}"
+        outer_proof = g16o.prover(skp.outer_keypair.pk,
+                                  pb.primary_input(),
+                                  pb.auxiliary_input(), seed=seed)
+        return RamZkSnarkSuccinctProof(
+            msg_initial=msgs[0], msg_final=msgs[-1],
+            outer_proof=outer_proof)
+
+    def verifier_succinct(self, skp_vk, arch, outer_curve,
+                          program: TinyRAMProgram,
+                          primary_input: List[int], time_bound: int,
+                          proof: "RamZkSnarkSuccinctProof") -> bool:
+        """Host checks: endpoints consistent with (boot, time_bound),
+        then ONE outer Groth16 verification whose primary input is the
+        endpoint hashes' bits."""
+        from .groth16 import Groth16
+        vk_host = RamZkSnarkVerificationKey(arch, None)
+        if not self.check_final_message(vk_host, program, primary_input,
+                                        time_bound, proof.msg_initial,
+                                        proof.msg_final):
+            return False
+        nbits = self.p.bit_length()
+        h0 = message_hash(self.p, arch, proof.msg_initial)
+        hT = message_hash(self.p, arch, proof.msg_final)
+        primary = [(h0 >> b) & 1 for b in range(nbits)] + \
+                  [(hT >> b) & 1 for b in range(nbits)]
+        g16o = Groth16(outer_curve)
+        return g16o.verifier_strong_IC(skp_vk, primary, proof.outer_proof)
+
+
+@dataclasses.dataclass
+class RamZkSnarkSuccinctKeypair:
+    inner: RamZkSnarkKeypair
+    outer_keypair: object
+    outer_curve: object
+    time_bound: int
+
+
+@dataclasses.dataclass
+class RamZkSnarkSuccinctProof:
+    """Constant-size ram_zksnark proof: chain endpoints + one outer
+    Groth16 proof aggregating every per-step inner proof."""
+    msg_initial: RamPCDMessage
+    msg_final: RamPCDMessage
+    outer_proof: object

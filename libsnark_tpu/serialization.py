@@ -233,6 +233,73 @@ class Codec:
                             g_B=self.read_g2(inp),
                             g_C=self.read_g1(inp))
 
+    # ------------------------------------------ BCTV14 (r1cs_ppzksnark)
+    # reference r1cs_ppzksnark.tcc operator<< field order
+    def write_bctv14_vk(self, out, vk):
+        self.write_g2(out, vk.alphaA_g2)
+        self.write_g1(out, vk.alphaB_g1)
+        self.write_g2(out, vk.alphaC_g2)
+        self.write_g2(out, vk.gamma_g2)
+        self.write_g1(out, vk.gamma_beta_g1)
+        self.write_g2(out, vk.gamma_beta_g2)
+        self.write_g2(out, vk.rC_Z_g2)
+        self.write_g1(out, vk.encoded_IC_query.first)
+        rest = vk.encoded_IC_query.rest
+        self._write_int(out, rest.domain_size(), 8)
+        self._write_int(out, len(rest.indices), 8)
+        for i in rest.indices:
+            self._write_int(out, i, 8)
+        for P in rest.values:
+            self.write_g1(out, P)
+
+    def read_bctv14_vk(self, inp):
+        from .proof_systems.bctv14 import BCTV14VerificationKey
+        from .common.sparse_vector import AccumulationVector
+        alphaA = self.read_g2(inp)
+        alphaB = self.read_g1(inp)
+        alphaC = self.read_g2(inp)
+        gamma = self.read_g2(inp)
+        gb1 = self.read_g1(inp)
+        gb2 = self.read_g2(inp)
+        rCZ = self.read_g2(inp)
+        first = self.read_g1(inp)
+        from .common.sparse_vector import SparseVector
+        domain = self._read_int(inp, 8)
+        n = self._read_int(inp, 8)
+        indices = [self._read_int(inp, 8) for _ in range(n)]
+        values = [self.read_g1(inp) for _ in range(n)]
+        return BCTV14VerificationKey(
+            alphaA_g2=alphaA, alphaB_g1=alphaB, alphaC_g2=alphaC,
+            gamma_g2=gamma, gamma_beta_g1=gb1, gamma_beta_g2=gb2,
+            rC_Z_g2=rCZ,
+            encoded_IC_query=AccumulationVector(
+                first=first,
+                rest=SparseVector(indices, values, domain)))
+
+    def write_bctv14_proof(self, out, proof):
+        # knowledge commitments: (g, h) pairs (kc.tcc:143-148)
+        self.write_g1(out, proof.g_A.g)
+        self.write_g1(out, proof.g_A.h)
+        self.write_g2(out, proof.g_B.g)
+        self.write_g1(out, proof.g_B.h)
+        self.write_g1(out, proof.g_C.g)
+        self.write_g1(out, proof.g_C.h)
+        self.write_g1(out, proof.g_H)
+        self.write_g1(out, proof.g_K)
+
+    def read_bctv14_proof(self, inp):
+        from .proof_systems.bctv14 import BCTV14Proof
+        from .common.knowledge_commitment import KnowledgeCommitment
+        Ag, Ah = self.read_g1(inp), self.read_g1(inp)
+        Bg, Bh = self.read_g2(inp), self.read_g1(inp)
+        Cg, Ch = self.read_g1(inp), self.read_g1(inp)
+        H = self.read_g1(inp)
+        K = self.read_g1(inp)
+        return BCTV14Proof(g_A=KnowledgeCommitment(Ag, Ah),
+                           g_B=KnowledgeCommitment(Bg, Bh),
+                           g_C=KnowledgeCommitment(Cg, Ch),
+                           g_H=H, g_K=K)
+
     # -------------------------------------------------------- convenience
     def dumps(self, write_fn, obj) -> bytes:
         buf = io.BytesIO()

@@ -1,7 +1,9 @@
-"""Correctness + throughput microbench of the v2 (2D) Pallas kernels.
+"""TRUE device throughput of the Pallas kernels.
 
-Checks mont_mul / madd / add / dbl against host bigint oracles, then
-times them at MSM-relevant lane counts.
+The axon tunnel drains device->host at ~10-40MB/s, so timing any op by
+transferring its full output measures the TUNNEL (round-1 mistake).
+Here each op is iterated K times inside one jit (dependency-chained) and
+only a tiny checksum leaves the device.
 """
 import os
 import sys
@@ -37,100 +39,95 @@ from libsnark_tpu.ops import pallas_fp, pallas_ec
 curve = get_curve("alt_bn128")
 fq = FpKernel(curve.fq_params)
 ck = CurveKernel(fq, "G1")
-p = curve.q
 rng = np.random.default_rng(7)
-print(f"# device={jax.devices()[0].platform}", flush=True)
+K = int(os.environ.get("BENCH_CHAIN_ITERS", "16"))
+print(f"# device={jax.devices()[0].platform} chain K={K}", flush=True)
 
 
-def drain(x):
-    return [np.asarray(v) for v in jax.tree_util.tree_leaves(x)]
-
-
-def rand_fe(n):
-    vals = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-            % p for _ in range(n)]
-    return vals
-
-
-# ---------------- correctness: mont_mul vs host ----------------
-n = 256
-av, bv = rand_fe(n), rand_fe(n)
-a = jnp.asarray(fq.encode(av))
-b = jnp.asarray(fq.encode(bv))
-out = pallas_fp.mont_mul(fq, a, b)
-got = fq.decode(out)
-exp = [x * y % p for x, y in zip(av, bv)]
-bad = sum(1 for g, e in zip(got, exp) if int(g) != e)
-print(f"mont_mul correctness: {n - bad}/{n} ok", flush=True)
-assert bad == 0, "mont_mul mismatch"
-
-# ---------------- correctness: madd/add/dbl vs host EC ----------------
-G = curve.G1.one()
-pts1 = [G * int(rng.integers(1, 1 << 60)) for _ in range(64)]
-pts2 = [G * int(rng.integers(1, 1 << 60)) for _ in range(64)]
-# exercise exceptional cases
-pts2[0] = pts1[0]                 # P == Q -> double
-pts2[1] = -pts1[1]                # P == -Q -> infinity
-pts1[2] = curve.G1.zero()         # P = inf
-pts2[3] = curve.G1.zero()         # Q = inf
-
-P = ck.encode_points(pts1)        # Jacobian
-Qa = ck.encode_points(pts2, jacobian=False)
-Qj = ck.encode_points(pts2)
-
-mres = pallas_ec.madd(fq, P, Qa)
-ares = pallas_ec.add(fq, P, Qj)
-dres = pallas_ec.dbl(fq, P)
-m_dec = ck.decode_points(mres, curve.G1)
-a_dec = ck.decode_points(ares, curve.G1)
-d_dec = ck.decode_points(dres, curve.G1)
-exp_sum = [x + y for x, y in zip(pts1, pts2)]
-exp_dbl = [x + x for x in pts1]
-badm = sum(1 for g, e in zip(m_dec, exp_sum) if g != e)
-bada = sum(1 for g, e in zip(a_dec, exp_sum) if g != e)
-badd = sum(1 for g, e in zip(d_dec, exp_dbl) if g != e)
-print(f"madd {64-badm}/64 ok; add {64-bada}/64 ok; dbl {64-badd}/64 ok",
-      flush=True)
-assert badm == bada == badd == 0, "EC kernel mismatch"
-
-# ---------------- throughput ----------------
-def bench(name, fn, *args, iters=5):
+def bench(name, fn, *args, per_iter_work=1, iters=3):
+    jfn = jax.jit(fn)
     t0 = time.monotonic()
-    drain(fn(*args))
+    np.asarray(jfn(*args))
     tc = time.monotonic() - t0
     times = []
     for _ in range(iters):
         t0 = time.monotonic()
-        drain(fn(*args))
+        np.asarray(jfn(*args))
         times.append(time.monotonic() - t0)
     best = min(times)
-    print(f"{name:40s} best={best*1e3:9.2f}ms (compile {tc:5.1f}s)",
-          flush=True)
-    return best
+    per = best / K
+    rate = per_iter_work / per
+    print(f"{name:36s} loop_best={best*1e3:9.2f}ms per_op={per*1e3:8.3f}ms"
+          f" -> {rate/1e6:8.2f}M/s (compile {tc:5.1f}s)", flush=True)
+    return per
 
 
-for L in (16384, 131072, 1 << 20):
-    ax = jnp.asarray(rng.integers(0, 1 << 16, size=(16, L), dtype=np.uint32))
-    ax = ax.at[15].set(0)     # keep < p
-    bx = jnp.asarray(rng.integers(0, 1 << 16, size=(16, L), dtype=np.uint32))
-    bx = bx.at[15].set(0)
-    t = bench(f"mont_mul L={L}", lambda a_, b_: pallas_fp.mont_mul(fq, a_, b_),
-              ax, bx)
-    print(f"  -> {L/t/1e6:.1f} Mmul/s", flush=True)
+def rand_fe_arr(L):
+    a = rng.integers(0, 1 << 16, size=(16, L), dtype=np.uint32)
+    a[15] &= 0x3FFF
+    return jnp.asarray(a)
+
+
+for L in (16384, 131072):
+    a = rand_fe_arr(L)
+    b = rand_fe_arr(L)
+
+    def chain_mul(a, b):
+        def body(i, x):
+            return fq.mul(x, b)
+        out = jax.lax.fori_loop(0, K, body, a)
+        return jnp.sum(out, dtype=jnp.uint32)
+
+    bench(f"mont_mul L={L}", chain_mul, a, b, per_iter_work=L)
 
 for L in (14336, 131072):
-    X = jnp.asarray(rng.integers(0, 1 << 16, size=(16, L), dtype=np.uint32))
-    X = X.at[15].set(0)
-    Y, Z, X2, Y2 = (X, X, X, X)
+    X, Y = rand_fe_arr(L), rand_fe_arr(L)
+    Z = fq.one((L,))
+    QX, QY = rand_fe_arr(L), rand_fe_arr(L)
     qi = jnp.zeros((L,), bool)
-    va = jnp.ones((L,), bool)
-    t = bench(f"madd L={L}",
-              lambda *a_: pallas_ec.madd(fq, (a_[0], a_[1], a_[2]),
-                                         (a_[3], a_[4], a_[5]), a_[6]),
-              X, Y, Z, X2, Y2, qi, va)
-    print(f"  -> {L/t/1e6:.2f} Madd/s", flush=True)
-    t = bench(f"add  L={L}",
-              lambda *a_: pallas_ec.add(fq, (a_[0], a_[1], a_[2]),
-                                        (a_[3], a_[4], a_[5])),
-              X, Y, Z, X2, Y2, Z)
-    print(f"  -> {L/t/1e6:.2f} Madd/s", flush=True)
+
+    def chain_madd(X, Y, Z, QX, QY, qi):
+        def body(i, P):
+            return ck.madd(P, (QX, QY, qi))
+        P = jax.lax.fori_loop(0, K, body, (X, Y, Z))
+        return sum(jnp.sum(c, dtype=jnp.uint32) for c in P)
+
+    bench(f"madd L={L}", chain_madd, X, Y, Z, QX, QY, qi,
+          per_iter_work=L)
+
+    def chain_add(X, Y, Z, QX, QY):
+        Q = (QX, QY, fq.one((L,)))
+
+        def body(i, P):
+            return ck.add(P, Q)
+        P = jax.lax.fori_loop(0, K, body, (X, Y, Z))
+        return sum(jnp.sum(c, dtype=jnp.uint32) for c in P)
+
+    bench(f"add  L={L}", chain_add, X, Y, Z, QX, QY, per_iter_work=L)
+
+# gather timings (in-graph, checksum out)
+m = 1 << 16
+xcol = rand_fe_arr(m)
+idxL = 27 * 513 * 176
+idx = jnp.asarray(rng.integers(0, m, size=(idxL,), dtype=np.int32))
+xrow = jnp.asarray(np.asarray(xcol).T.copy())
+
+
+def g_lane(x, i):
+    return jnp.sum(x[:, i], dtype=jnp.uint32)
+
+
+def g_row(x, i):
+    return jnp.sum(jnp.take(x, i, axis=0), dtype=jnp.uint32)
+
+
+bench(f"gather lane-axis {idxL/1e6:.1f}M", g_lane, xcol, idx,
+      per_iter_work=idxL * K)   # single-shot; normalize by K to undo
+bench(f"gather row-major {idxL/1e6:.1f}M", g_row, xrow, idx,
+      per_iter_work=idxL * K)
+
+# argsort
+W = 27
+keys = jnp.asarray(rng.integers(0, 512, size=(W, m), dtype=np.int32))
+bench("argsort (27,65536)", lambda k: jnp.sum(
+    jnp.argsort(k, axis=-1), dtype=jnp.int32), keys, per_iter_work=K)

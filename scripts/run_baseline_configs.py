@@ -1,0 +1,217 @@
+"""BASELINE configs at their stated sizes (VERDICT r1 item 3).
+
+Steps (select by argv, default all):
+  msm16    2^16-point G1 MSM, exact vs an O(1)-host-work oracle
+           (points built as k_i*G with known k_i => MSM = (sum s_i k_i) G)
+  ifft16   2^16 radix-2 iFFT, exact: coefficients re-evaluated at domain
+           points host-side (random spot checks)
+  groth10  Groth16 prove+verify round trip at 2^10 constraints (timed)
+  groth20  Groth16 prover at 2^20 constraints, timed (the BASELINE
+           "measured, reported" config)
+  bls377   Groth16 full pipeline over BLS12-377 (G2-over-Fp2 MSM +
+           pairing verification) at 2^10 constraints
+  kzg22    KZG commit+open at degree 2^22
+
+Results appended to BASELINE_RESULTS.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.pop("PYTHONPATH", None)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax
+
+_retry = int(os.environ.get("TPU_BENCH_RETRY", "0"))
+if (jax.default_backend() == "cpu" and _retry < 10
+        and os.environ.get("BENCH_ALLOW_CPU") != "1"):
+    print(f"# tpu init failed (attempt {_retry}); retrying", file=sys.stderr)
+    os.environ["TPU_BENCH_RETRY"] = str(_retry + 1)
+    time.sleep(8)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax.numpy as jnp
+import numpy as np
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo,
+                               ".jax_cache_tpu"
+                               if jax.default_backend() == "tpu"
+                               else ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from libsnark_tpu import get_curve
+from libsnark_tpu.ops.fp import FpKernel
+from libsnark_tpu.ops.ec import CurveKernel
+from libsnark_tpu.ops.msm import MSMKernel, default_window_bits
+from libsnark_tpu.ops.limbs import LIMB_BITS, ints_to_limbs
+
+RESULTS = os.path.join(_repo, "BASELINE_RESULTS.json")
+rng = np.random.default_rng(0)
+
+
+def record(name, **kv):
+    data = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            data = json.load(f)
+    kv["device"] = jax.devices()[0].platform
+    kv["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    data[name] = kv
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"[{name}] {kv}", flush=True)
+
+
+def drain(x):
+    return [np.asarray(v) for v in jax.tree_util.tree_leaves(x)]
+
+
+def build_points(curve, ck, mk, m, seed=0):
+    """m points k_i * G with known k_i (device fixed-base)."""
+    table_c, W8 = 8, -(-curve.r.bit_length() // 8)
+    base = ck.encode_points([curve.G1.one()], jacobian=False)
+    nl = -(-curve.r.bit_length() // LIMB_BITS)
+    r = np.random.default_rng(seed)
+    ks = r.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+    ks[-1] &= 0x0FFF
+
+    @jax.jit
+    def gen(bx, by, sc):
+        t = mk.window_table((bx, by), table_c, W8)
+        taff = ck.to_affine(t)
+        return ck.to_affine(mk.batch_exp(taff, sc, table_c))
+
+    pts = gen(base[0], base[1], jnp.asarray(ks))
+    drain(pts)
+    k_ints = [sum(int(ks[i, j]) << (16 * i) for i in range(nl))
+              for j in range(m)]
+    return pts, k_ints
+
+
+def step_msm16():
+    m = 1 << 16
+    curve = get_curve("alt_bn128")
+    fq = FpKernel(curve.fq_params)
+    ck = CurveKernel(fq, "G1")
+    mk = MSMKernel(ck, curve.r.bit_length())
+    pts, k_ints = build_points(curve, ck, mk, m)
+    nl = -(-curve.r.bit_length() // LIMB_BITS)
+    s = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+    s[-1] &= 0x2FFF
+    s_ints = [sum(int(s[i, j]) << (16 * i) for i in range(nl))
+              for j in range(m)]
+    c = default_window_bits(m)
+    t0 = time.monotonic()
+    out = jax.jit(lambda p, sc: ck.to_affine(mk.msm(p, sc, c)))(
+        pts, jnp.asarray(s))
+    drain(out)
+    dt = time.monotonic() - t0
+    got = ck.decode_points(out, curve.G1)[0]
+    expect = curve.G1.one() * (
+        sum(si * ki for si, ki in zip(s_ints, k_ints)) % curve.r)
+    assert got == expect, "2^16 MSM mismatch vs oracle"
+    record("msm16_exact", ok=True, seconds=round(dt, 3),
+           points_per_s=round(m / dt, 1))
+
+
+def step_ifft16():
+    logn = 16
+    curve = get_curve("alt_bn128")
+    fr = FpKernel(curve.fr_params)
+    from libsnark_tpu.ops.ntt import Radix2Domain
+    dom = Radix2Domain(fr, curve.fr_params, logn)
+    n = 1 << logn
+    r = curve.r
+    evals = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+    a = jnp.asarray(fr.encode(evals))
+    t0 = time.monotonic()
+    coeffs_dev = jax.jit(dom.ifft)(a)
+    drain(coeffs_dev)
+    dt = time.monotonic() - t0
+    coeffs = [int(v) for v in fr.decode(coeffs_dev)]
+    # spot-check: evaluate the coefficient poly at domain points
+    w = dom.omega if hasattr(dom, "omega") else pow(
+        curve.fr_params.root_of_unity,
+        1 << (curve.fr_params.two_adicity - logn), r)
+    for k in (0, 1, 17, n - 1):
+        x = pow(w, k, r)
+        acc, xp = 0, 1
+        for cj in coeffs:
+            acc = (acc + cj * xp) % r
+            xp = xp * x % r
+        assert acc == evals[k] % r, f"iFFT mismatch at index {k}"
+    record("ifft16_exact", ok=True, seconds=round(dt, 3))
+
+
+def _groth_roundtrip(curve_name, log2c, tag, verify=True):
+    from libsnark_tpu.relations.examples import generate_r1cs_example
+    from libsnark_tpu.proof_systems.groth16 import Groth16
+    curve = get_curve(curve_name)
+    nc = (1 << log2c) - 2
+    cs, primary, aux = generate_r1cs_example(curve.r, nc, 1)
+    g16 = Groth16(curve)
+    t0 = time.monotonic()
+    kp = g16.generator(cs, seed=42)
+    t_gen = time.monotonic() - t0
+    t0 = time.monotonic()
+    proof = g16.prover(kp.pk, primary, aux, seed=7)
+    t_prove = time.monotonic() - t0
+    ok = g16.verifier_strong_IC(kp.vk, primary, proof) if verify else None
+    if verify:
+        assert ok, f"{tag}: proof failed verification"
+        assert not g16.verifier_strong_IC(
+            kp.vk, [(primary[0] + 1) % curve.r], proof), \
+            f"{tag}: tampered input accepted"
+    record(tag, ok=bool(ok), constraints=nc,
+           gen_s=round(t_gen, 2), prove_s=round(t_prove, 2))
+
+
+def step_groth10():
+    _groth_roundtrip("alt_bn128", 10, "groth16_2e10_roundtrip")
+
+
+def step_groth20():
+    _groth_roundtrip("alt_bn128", 20, "groth16_2e20_prove")
+
+
+def step_bls377():
+    _groth_roundtrip("bls12_377", 10, "groth16_bls377_2e10_roundtrip")
+
+
+def step_kzg22():
+    from libsnark_tpu.polynomial_commitments.kzg10 import KZG10
+    curve = get_curve("alt_bn128")
+    deg = 1 << 22
+    kzg = KZG10(curve)
+    t0 = time.monotonic()
+    srs = kzg.setup(deg, seed=3)
+    t_setup = time.monotonic() - t0
+    coeffs = [int(x) for x in rng.integers(0, 1 << 62, size=deg)]
+    t0 = time.monotonic()
+    com = kzg.commit(srs, coeffs)
+    t_commit = time.monotonic() - t0
+    point = 12345
+    t0 = time.monotonic()
+    value, w = kzg.create_evaluation_witness(srs, coeffs, point)
+    t_open = time.monotonic() - t0
+    assert kzg.verify_evaluation(srs, com, point, value, w), \
+        "KZG verify failed"
+    record("kzg_2e22", ok=True, setup_s=round(t_setup, 2),
+           commit_s=round(t_commit, 2), open_s=round(t_open, 2))
+
+
+STEPS = {"msm16": step_msm16, "ifft16": step_ifft16,
+         "groth10": step_groth10, "groth20": step_groth20,
+         "bls377": step_bls377, "kzg22": step_kzg22}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(STEPS)
+    for n in names:
+        print(f"== {n} ==", flush=True)
+        STEPS[n]()

@@ -51,3 +51,37 @@ def test_one_layer_pcd_aggregation(bls377):
                                   [primary[0], primary[0] + 1],
                                   [proof1, proof2])
     assert not ok2
+
+
+@pytest.mark.slow
+def test_sp_pcd_end_to_end_real_proofs(bls377):
+    """FULL sp-PCD with ZERO trapdoors (VERDICT r1 item 4): a real
+    device Groth16 step proof over BLS12-377, aggregated under a real
+    device Groth16 proof over BW6-761, verified host-side.
+
+    Heavy: compiles the BW6-761 (48-limb) device pipeline; run on the
+    TPU via scripts/run_pcd_e2e.py when possible."""
+    from libsnark_tpu import get_curve
+    from libsnark_tpu.proof_systems.pcd import SpPCD
+
+    bw6 = get_curve("bw6_761")
+    pcd = SpPCD(bls377, bw6)
+
+    cp = TallyCompliancePredicate(bls377.r, max_arity=2)
+    cp.generate_r1cs_constraints()
+
+    pk, vk = pcd.generator(cp, num_proofs=1, seed=77)
+    stmt, inner_proof = pcd.prove_step(
+        pk, cp,
+        [PCDMessage(type=1, payload=[10, 1]),
+         PCDMessage(type=1, payload=[20, 2])],
+        PCDLocalData(values=[5]), seed=5)
+    # sanity: the inner proof verifies natively
+    assert pcd.g16_inner.verifier_strong_IC(
+        pk.inner_keypair.vk, stmt, inner_proof)
+
+    proof = pcd.prover(pk, [stmt], [inner_proof], seed=9)
+    assert pcd.verifier(vk, [stmt], proof)
+    bad_stmt = list(stmt)
+    bad_stmt[1] = (bad_stmt[1] + 1) % bls377.r
+    assert not pcd.verifier(vk, [bad_stmt], proof)

@@ -133,11 +133,11 @@ def test_ram_zksnark_transcript_with_trapdoor_proofs(bls377):
 
 
 def test_statement_hash_matches_circuit(bls377):
-    """The in-circuit h equals the host statement hash."""
+    """The in-circuit [h_in, h_out] equals the host statement hashes."""
     prog = TinyRAMProgram()
     prog.add(Opcode.ANSWER, True, 0, 0, 0)
     arch = _arch(depth=4)
     rs = RamZkSnark(bls377)
     pred, msgs, _ = rs.run_and_chain(arch, prog, [], [], 1, check=True)
-    h_circuit = pred.pb.primary_input()[0]
-    assert h_circuit == statement_hash(bls377.r, arch, msgs[0], msgs[1])
+    assert pred.pb.primary_input() == statement_hash(
+        bls377.r, arch, msgs[0], msgs[1])

@@ -45,3 +45,42 @@ def test_groth16_vk_proof_roundtrip(bn254):
             proof2 = reserialize(c, c.write_groth16_proof,
                                  c.read_groth16_proof, proof)
             assert g16.verifier_strong_IC(vk2, primary, proof2)
+
+
+def test_bctv14_codec_round_trip(bn254):
+    """Structural round trip of the BCTV14 vk/proof grammar (points are
+    arbitrary valid group elements; cryptographic validity untested)."""
+    from libsnark_tpu.serialization import Codec
+    from libsnark_tpu.proof_systems.bctv14 import (
+        BCTV14VerificationKey, BCTV14Proof)
+    from libsnark_tpu.common.sparse_vector import (
+        SparseVector, AccumulationVector)
+    from libsnark_tpu.common.knowledge_commitment import KnowledgeCommitment
+
+    G1, G2 = bn254.G1.one(), bn254.G2.one()
+    vk = BCTV14VerificationKey(
+        alphaA_g2=G2 * 3, alphaB_g1=G1 * 5, alphaC_g2=G2 * 7,
+        gamma_g2=G2 * 11, gamma_beta_g1=G1 * 13, gamma_beta_g2=G2 * 17,
+        rC_Z_g2=G2 * 19,
+        encoded_IC_query=AccumulationVector(
+            first=G1 * 23,
+            rest=SparseVector([0, 2], [G1 * 29, G1 * 31], 3)))
+    proof = BCTV14Proof(
+        g_A=KnowledgeCommitment(G1 * 2, G1 * 4),
+        g_B=KnowledgeCommitment(G2 * 6, G1 * 8),
+        g_C=KnowledgeCommitment(G1 * 10, G1 * 12),
+        g_H=G1 * 14, g_K=G1 * 16)
+    for mode in ("text", "binary"):
+        codec = Codec(bn254, mode=mode)
+        vk2 = codec.loads(codec.read_bctv14_vk,
+                          codec.dumps(codec.write_bctv14_vk, vk))
+        assert vk2.alphaA_g2 == vk.alphaA_g2
+        assert vk2.gamma_beta_g1 == vk.gamma_beta_g1
+        assert vk2.encoded_IC_query.first == vk.encoded_IC_query.first
+        assert vk2.encoded_IC_query.rest.indices == [0, 2]
+        assert vk2.encoded_IC_query.rest.values == \
+            vk.encoded_IC_query.rest.values
+        pf2 = codec.loads(codec.read_bctv14_proof,
+                          codec.dumps(codec.write_bctv14_proof, proof))
+        assert pf2.g_A.g == proof.g_A.g and pf2.g_B.h == proof.g_B.h
+        assert pf2.g_H == proof.g_H and pf2.g_K == proof.g_K
