@@ -209,6 +209,35 @@ class MSMKernel:
         # window-leading layout (scan-stacking parity for the combiners)
         return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
+    def _sort_and_bounds(self, digits, m, B, c):
+        """Per-window stable sort by digit + bucket boundary tables.
+
+        Packed single-u32 sort (digit << idx_bits | idx) with
+        searchsorted boundaries when the bits fit -- ~6x cheaper than
+        argsort + take_along_axis + segment_sum on TPU; falls back to
+        the general path otherwise. Returns (order, starts, counts)
+        with bucket 0 zeroed in counts."""
+        idx_bits = max(1, (m - 1).bit_length())
+        if (c - 1) + 1 + idx_bits <= 32:
+            iota = jax.lax.broadcasted_iota(jnp.uint32, digits.shape, 1)
+            packed = (digits.astype(jnp.uint32) << idx_bits) | iota
+            skey = jnp.sort(packed, axis=-1)
+            order = (skey & ((1 << idx_bits) - 1)).astype(jnp.int32)
+            dig_s = (skey >> idx_bits).astype(jnp.int32)
+            targets = jnp.arange(B + 2, dtype=jnp.int32)
+            bounds = jax.vmap(
+                lambda d: jnp.searchsorted(d, targets))(dig_s)
+            starts = bounds[:, : B + 1].astype(jnp.int32)
+            counts = (bounds[:, 1: B + 2] - bounds[:, : B + 1]
+                      ).astype(jnp.int32)
+        else:
+            order = jnp.argsort(digits, axis=-1)
+            dig_s = jnp.take_along_axis(digits, order, axis=-1)
+            counts = jax.vmap(lambda d: jax.ops.segment_sum(
+                jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
+            starts = jnp.cumsum(counts, axis=-1) - counts
+        return order, starts, counts.at[:, 0].set(0)
+
     def _tree_reduce_points(self, P):
         """Reduce a Jacobian point array over its LAST batch axis with a
         log-depth add tree (odd widths pad with an infinity lane)."""
@@ -261,54 +290,97 @@ class MSMKernel:
             rounds_pad = min(max(rounds_pad, 8), max(m, 2))
         rounds_pad += rounds_pad % 2                     # even (clean tree)
 
-        order = jnp.argsort(digits, axis=-1)             # (W, m)
-        dig_s = jnp.take_along_axis(digits, order, axis=-1)
-        counts = jax.vmap(lambda d: jax.ops.segment_sum(
-            jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
-        starts = jnp.cumsum(counts, axis=-1) - counts    # (W, B+1)
-        counts = counts.at[:, 0].set(0)                  # bucket 0 unused
+        order, starts, counts = self._sort_and_bounds(digits, m, B, c)
 
-        R = rounds_pad
-        r_idx = jnp.arange(R, dtype=jnp.int32)           # (R,)
-        widx = jnp.arange(W)[:, None, None]
-        y_neg = fk.neg(y)
-        max_count = jnp.max(counts)
+        # doubled y table [y | -y]: digit signs become +m on the gather
+        # index (one flat gather instead of two + select)
+        y2 = jnp.concatenate([y, fk.neg(y)], axis=-1)    # (N, 2m)
+        signs_flat = signs.reshape(-1)                   # (W*m,)
+        order_flat = order.reshape(-1)
 
-        def chunk(base):
-            """Gather + tree-reduce rounds [base, base+R) of every
-            bucket; returns (W, B+1) Jacobian partial bucket sums."""
-            pos = jnp.clip(starts[..., None] + base + r_idx, 0, m - 1)
-            valid = (base + r_idx) < counts[..., None]   # (W, B+1, R)
-            pg = jnp.take_along_axis(
-                order[:, None, :], pos.reshape(W, 1, -1), axis=-1
-            ).reshape(W, B + 1, R)                       # global indices
-            qx = x[..., pg]
-            sgn = signs[widx, pg]
-            qy = fk.select(sgn, y_neg[..., pg], y[..., pg])
-            qinf = jnp.logical_or(inf[pg], jnp.logical_not(valid))
-            # lift the left half to Jacobian, mixed-add the right half
-            # (R is even), then full-add tree down to one lane
-            half = R // 2
-            lx, ly, li = qx[..., :half], qy[..., :half], qinf[..., :half]
-            one = fk.one(li.shape)
-            accL = (lx, ly, fk.select(li, fk.zeros(li.shape), one))
-            acc = ck.madd(accL, (qx[..., half:], qy[..., half:],
-                                 qinf[..., half:]))      # (W, B+1, half)
-            P = self._tree_reduce_points(acc)
-            return _tree_map(lambda a: a[..., 0], P)     # (W, B+1)
+        def reduce_windows(w_lo, w_hi, nb, R):
+            """Dense gather + tree reduce for windows [w_lo, w_hi) over
+            buckets [0, nb), chunk length R. Returns (w_hi-w_lo, nb)
+            Jacobian bucket sums (chunk while_loop guards occupancy
+            beyond R). All gathers are FLAT 1D index arrays -- the
+            multi-dim fancy-index forms lower ~20x slower on TPU."""
+            Wn = w_hi - w_lo
+            st = jax.lax.slice(starts, (w_lo, 0), (w_hi, nb))
+            ct = jax.lax.slice(counts, (w_lo, 0), (w_hi, nb))
+            r_idx = jnp.arange(R, dtype=jnp.int32)
+            max_count = jnp.max(ct)
+            woff = (jnp.arange(w_lo, w_hi, dtype=jnp.int32) * m
+                    )[:, None, None]                     # (Wn, 1, 1)
 
-        # chunked loop: 1 iteration for random scalars, more only when
-        # some bucket's occupancy exceeds R (adversarial distributions)
-        def cond(state):
-            t, _ = state
-            return t * R < max_count
+            def chunk(base):
+                pos = jnp.clip(st[..., None] + base + r_idx, 0, m - 1)
+                valid = (base + r_idx) < ct[..., None]   # (Wn, nb, R)
+                flat_sorted = (woff + pos).reshape(-1)   # into order_flat
+                pg = jnp.take(order_flat, flat_sorted)   # ORIGINAL pt idx
+                # sign of point pg's digit in ITS window: signs is
+                # indexed by (window, original point), not sorted pos
+                wrep = jnp.broadcast_to(woff, pos.shape).reshape(-1)
+                sgn_idx = jnp.take(signs_flat, wrep + pg)
+                lead = x.shape[:-1]
+                qx = jnp.take(x, pg, axis=-1).reshape(lead + (Wn, nb, R))
+                qy = jnp.take(y2, pg + sgn_idx.astype(jnp.int32) * m,
+                              axis=-1).reshape(lead + (Wn, nb, R))
+                qinf = jnp.take(inf, pg).reshape(Wn, nb, R)
+                qinf = jnp.logical_or(qinf, jnp.logical_not(valid))
+                half = R // 2
+                lx, ly = qx[..., :half], qy[..., :half]
+                li = qinf[..., :half]
+                one = fk.one(li.shape)
+                accL = (lx, ly, fk.select(li, fk.zeros(li.shape), one))
+                acc = ck.madd(accL, (qx[..., half:], qy[..., half:],
+                                     qinf[..., half:]))  # (Wn, nb, half)
+                P = self._tree_reduce_points(acc)
+                return _tree_map(lambda a: a[..., 0], P)  # (Wn, nb)
 
-        def body(state):
-            t, accb = state
-            return t + 1, ck.add(accb, chunk(t * R))
+            def cond(state):
+                t, _ = state
+                return t * R < max_count
 
-        _, buckets = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), ck.zero((W, B + 1))))
+            def body(state):
+                t, accb = state
+                return t + 1, ck.add(accb, chunk(t * R))
+
+            _, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), ck.zero((Wn, nb))))
+            return out
+
+        # ---- window split (round-2 fix): PARTIAL top windows cover
+        # < c scalar bits, so their digits land in ~2^eff buckets with
+        # occupancy ~m/2^eff >> m/B -- one uniform R would force the
+        # chunk loop through ~B/2^eff full passes (the round-1 rake ran
+        # ~8000 such rounds at 2^16). Each top window gets its own
+        # (bucket-count, depth) shape instead.
+        W_full = min(W, self.scalar_bits // c)
+        groups = []
+        if W_full > 0:
+            groups.append(reduce_windows(0, W_full, B + 1, rounds_pad))
+        for w in range(W_full, W):
+            eff = max(0, min(c, self.scalar_bits - c * w))
+            prev_eff = max(0, min(c, self.scalar_bits - c * (w - 1)))
+            # signed-digit carries only escape FULL windows (a window
+            # with eff < c has raw+carry <= 2^eff <= half): a zero-width
+            # window behind a partial one is provably all-zero digits
+            if eff == 0 and prev_eff < c:
+                groups.append(ck.zero((1, B + 1)))
+                continue
+            # digits <= 2^eff (+1 carry); the chunk loop still guards
+            nb = min(B + 1, (1 << eff) + 2)
+            occ = (4 * m) // max(1, nb - 1) + 16
+            Rw = 1 << min(max(3, (occ - 1).bit_length()),
+                          max(3, (m - 1).bit_length()))
+            row = reduce_windows(w, w + 1, nb, Rw)       # (1, nb)
+            if nb < B + 1:                               # pad with inf
+                zpt = ck.zero((1, B + 1 - nb))
+                row = tuple(jnp.concatenate([a, z], axis=-1)
+                            for a, z in zip(row, zpt))
+            groups.append(row)
+        buckets = _tree_map(
+            lambda *gs: jnp.concatenate(gs, axis=-2), *groups)
 
         # weighted aggregation: sum_j j * S_j via two suffix point-scans
         T = self._suffix_scan_add(buckets, B + 1)
@@ -318,9 +390,108 @@ class MSMKernel:
         S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
         return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
+    def window_sums_fused(self, points_aff, scalars, c: int,
+                          rounds_pad: int = None, interpret: bool = False):
+        """Bucket accumulation via the fused Pallas bucket-reduce kernel
+        (ops/pallas_bucket.py): sort -> ONE row-major gather -> one
+        kernel launch that DMAs each bucket's contiguous rows and
+        tree-reduces them in-register. G1/plain-Fp only.
+
+        Digit signs are baked into the gather by indexing a doubled
+        [P | -P] row table; infinity and padding lanes are all-zero rows
+        (y == 0 is never a valid affine point on these curves)."""
+        from .pallas_bucket import bucket_reduce, B_TILE
+        ck, fk = self.ck, self.fk
+        N = fk.N
+        m = scalars.shape[-1]
+        B = 1 << (c - 1)
+        x, y, inf = points_aff
+        digits, signs = self.signed_digits(scalars, c)   # (W, m)
+        W = digits.shape[0]
+
+        if rounds_pad is None:
+            mean = m / B
+            rounds_pad = int(mean + 2.5 * math.sqrt(
+                2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
+        R = 1 << max(3, (rounds_pad - 1).bit_length())   # pow2 for the tree
+
+        order = jnp.argsort(digits, axis=-1)             # (W, m)
+        dig_s = jnp.take_along_axis(digits, order, axis=-1)
+        counts = jax.vmap(lambda d: jax.ops.segment_sum(
+            jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
+        starts = jnp.cumsum(counts, axis=-1) - counts    # (W, B+1)
+        counts = counts.at[:, 0].set(0)                  # bucket 0 unused
+
+        # doubled row table [P | -P]; infinity -> all-zero rows
+        live = jnp.logical_not(inf)[:, None]             # (m, 1)
+        xr = jnp.where(live, x.T, 0)
+        rows_pos = jnp.concatenate([xr, jnp.where(live, y.T, 0)], axis=1)
+        rows_neg = jnp.concatenate(
+            [xr, jnp.where(live, fk.neg(y).T, 0)], axis=1)
+        rows_all = jnp.concatenate([rows_pos, rows_neg], axis=0)  # (2m,2N)
+
+        # sorted row gather with signs baked in; pad R zero rows so the
+        # fixed-size bucket DMA never reads out of bounds
+        sgn_sorted = jnp.take_along_axis(signs, order, axis=-1)
+        gidx = order + sgn_sorted.astype(jnp.int32) * m  # (W, m)
+        rows_sorted = jnp.take(rows_all, gidx.reshape(-1), axis=0)
+        rows_sorted = jnp.concatenate(
+            [rows_sorted, jnp.zeros((R, 2 * N), jnp.uint32)], axis=0)
+
+        # flat bucket tables (padded to the kernel tile size)
+        woff = (jnp.arange(W, dtype=jnp.int32) * m)[:, None]
+        starts_flat = (starts + woff).reshape(-1)
+        counts_flat = counts.reshape(-1)
+        nb = W * (B + 1)
+        nb_pad = -(-nb // B_TILE) * B_TILE
+        if nb_pad != nb:
+            starts_flat = jnp.pad(starts_flat, (0, nb_pad - nb))
+            counts_flat = jnp.pad(counts_flat, (0, nb_pad - nb))
+
+        max_count = jnp.max(counts_flat)
+
+        def chunk(t, accb):
+            s = jnp.clip(starts_flat + t * R, 0, W * m)
+            cta = jnp.clip(counts_flat - t * R, 0, R)
+            X, Y, Z = bucket_reduce(fk, s, cta, rows_sorted, R,
+                                    interpret=interpret)
+            return ck.add(accb, (X, Y, Z))
+
+        def cond(state):
+            t, _ = state
+            return t * R < max_count
+
+        def body(state):
+            t, accb = state
+            return t + 1, chunk(t, accb)
+
+        _, bsums = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ck.zero((nb_pad,))))
+        buckets = _tree_map(
+            lambda a: a[..., :nb].reshape(a.shape[:-1] + (W, B + 1)),
+            bsums)
+
+        # weighted aggregation (sum_j j * S_j) via two suffix point-scans
+        T = self._suffix_scan_add(buckets, B + 1)
+        R2 = self._suffix_scan_add(T, B + 1)
+        total = _tree_map(lambda a: a[..., 0:1], R2)
+        t0 = _tree_map(lambda a: a[..., 0:1], T)
+        S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
+        return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
+
     def combine_windows(self, S, c: int):
-        """Horner combine of per-window sums: sum_w 2^(cw) S_w."""
+        """Horner combine of per-window sums: sum_w 2^(cw) S_w.
+
+        On TPU/G1 this is ONE fused Pallas kernel (c doublings + 1 add
+        per window, single-lane); the XLA scan fallback costs ~W*(c+1)
+        kernel launches."""
         ck = self.ck
+        from .pallas_ec import ec_pallas_ok
+        if ec_pallas_ok(self.fk):
+            from .pallas_bucket import horner_combine
+            flat = tuple(jnp.moveaxis(a, 0, -2)[..., 0] for a in S)
+            out = horner_combine(self.fk, flat, c)
+            return out
         # MSB window first
         S_rev = _tree_map(lambda a: jnp.flip(a, axis=0), S)
 
@@ -330,6 +501,32 @@ class MSMKernel:
 
         out, _ = jax.lax.scan(comb, ck.zero((1,)), S_rev)
         return out
+
+    # ---------------------------------------------------- compile-lean MSM
+    def msm_simple(self, points_aff, scalars):
+        """Scan-based double-and-add MSM: per-lane scalar multiply (one
+        lax.scan over scalar bits, 2 group ops per step) + log-depth
+        lane reduction. O(bits * m) group work -- far more FLOPs than
+        Pippenger, but the graph is ~100x smaller, which makes it the
+        right kernel for mesh-validation dry runs and tiny MSMs where
+        XLA compile time dominates wall clock."""
+        ck = self.ck
+        m = scalars.shape[-1]
+        x, y, inf = points_aff
+        nl = scalars.shape[0]
+        # bits MSB-first as a (bits, m) bool array
+        bit_idx = np.arange(self.scalar_bits)[::-1]
+        li = jnp.asarray(bit_idx // LIMB_BITS, dtype=jnp.int32)
+        sh = jnp.asarray(bit_idx % LIMB_BITS, dtype=jnp.uint32)
+        bits = ((scalars[li] >> sh[:, None]) & 1).astype(bool)
+
+        def step(acc, b):
+            acc = ck.dbl(acc)
+            added = ck.madd(acc, (x, y, inf))
+            return ck.select(b, added, acc), None
+
+        acc, _ = jax.lax.scan(step, ck.zero((m,)), bits)
+        return self._tree_reduce_points(acc)
 
     # ------------------------------------------------------------ fixed base
     def window_table(self, base_aff, c: int, num_windows: int):

@@ -92,10 +92,18 @@ def _cond_sub_rows(res_rows, p_col, N):
 
 def _add_at(acc, off, val):
     """acc[off:off+rows(val)] += val. Mosaic supports neither scatter-add
-    nor dynamic_(update_)slice on values, so place via a static zero-pad
-    and add full-height."""
+    nor dynamic_(update_)slice on values; zero-pad placement via concat
+    (jnp.pad lowers to an op Mosaic rejects inside fori_loop bodies)."""
     K = acc.shape[0]
-    return acc + jnp.pad(val, ((off, K - off - val.shape[0]), (0, 0)))
+    tail = K - off - val.shape[0]
+    parts = []
+    if off:
+        parts.append(jnp.zeros((off, val.shape[1]), val.dtype))
+    parts.append(val)
+    if tail:
+        parts.append(jnp.zeros((tail, val.shape[1]), val.dtype))
+    return acc + (parts[0] if len(parts) == 1
+                  else jnp.concatenate(parts, axis=0))
 
 
 def _mul_body(a, b, p_col, n0inv, N):

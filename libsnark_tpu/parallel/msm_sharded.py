@@ -23,12 +23,18 @@ from jax import shard_map
 
 
 def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
-                c: int = 8, affine: bool = False):
+                c: int = 8, affine: bool = False,
+                method: str = "pippenger"):
     """MSM with the batch (last) axis of points/scalars sharded on `axis`.
 
     points_aff: (x, y, inf) global arrays; scalars (NL, m). Returns a
     Jacobian point (batch (1,)), replicated -- or affine (x, y, inf)
     when ``affine=True`` (the to_affine runs inside the same program).
+
+    method="simple" uses the scan-based double-and-add local MSM
+    (ops/msm.py msm_simple) -- identical sharding/collective structure
+    with a ~100x smaller XLA graph; the choice for compile-budgeted
+    mesh-validation dry runs.
 
     The whole pipeline (shard_map window sums + cross-device tree add +
     Horner combine) is ONE jitted program, cached per
@@ -36,14 +42,15 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
     (A/B1/H/L in a Groth16 prove) reuse one executable instead of
     re-tracing an eager shard_map per call.
     """
-    key = (msm_kernel, mesh, axis, c, affine,
+    key = (msm_kernel, mesh, axis, c, affine, method,
            tuple(a.shape for a in points_aff), scalars.shape)
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
         import jax as _jax
 
         def run(pts, sc):
-            out = _sharded_msm_impl(msm_kernel, mesh, axis, pts, sc, c)
+            out = _sharded_msm_impl(msm_kernel, mesh, axis, pts, sc, c,
+                                    method)
             return msm_kernel.ck.to_affine(out) if affine else out
 
         fn = _SHARDED_CACHE[key] = _jax.jit(run)
@@ -54,7 +61,7 @@ _SHARDED_CACHE = {}
 
 
 def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
-                      scalars, c: int):
+                      scalars, c: int, method: str = "pippenger"):
     ck = msm_kernel.ck
 
     ndim_x = points_aff[0].ndim
@@ -66,6 +73,31 @@ def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
         (spec_last(ndim_x), spec_last(ndim_x), P(axis)),
         spec_last(2),
     )
+
+    if method == "simple":
+        # scan double-and-add local MSM; partial sums combine by a
+        # plain cross-device point-add tree (one "window")
+        def local_simple(pts, sc):
+            S = msm_kernel.msm_simple(pts, sc)       # batch (1,)
+            S = tuple(a[..., None, :] for a in S)    # (.., 1, 1)
+            G = tuple(jax.lax.all_gather(a, axis) for a in S)
+            D = G[0].shape[0]
+            acc = tuple(a[0] for a in G)
+            for d in range(1, D):
+                acc = ck.add(acc, tuple(a[d] for a in G))
+            return tuple(jnp.moveaxis(a, -2, 0) for a in acc)
+
+        try:
+            f = shard_map(local_simple, mesh=mesh, in_specs=in_specs,
+                          out_specs=_replicated_specs(points_aff),
+                          check_vma=False)
+        except TypeError:
+            f = shard_map(local_simple, mesh=mesh, in_specs=in_specs,
+                          out_specs=_replicated_specs(points_aff),
+                          check_rep=False)
+        S_total = f(points_aff, scalars)
+        # single pseudo-window: combine is the identity (2^0 weight)
+        return tuple(a[0] for a in S_total)
 
     def local(pts, sc):
         S = msm_kernel.window_sums_auto(pts, sc, c)  # (W, ..coords.., 1)

@@ -211,10 +211,14 @@ class Groth16(PairingSystem):
         return Groth16Proof(g_A=g_A, g_B=g_B, g_C=g_C)
 
     def prover_sharded(self, pk, primary: list, auxiliary: list, mesh,
-                       axis: str, seed: Optional[int] = None):
+                       axis: str, seed: Optional[int] = None,
+                       msm_method: str = "pippenger"):
         """Multi-device prove: four-step distributed NTT witness map +
         point-sharded MSMs over `mesh[axis]` (the reference's OpenMP
-        chunking, re-designed as SPMD; SURVEY.md section 2.9)."""
+        chunking, re-designed as SPMD; SURVEY.md section 2.9).
+
+        msm_method="simple" swaps the local MSM for the scan-based
+        double-and-add (compile-budgeted mesh validation)."""
         from ..parallel.ntt_sharded import FourStepDomain
         from ..parallel.msm_sharded import sharded_msm, pad_for_mesh
         from ..ops.ntt import get_domain_size
@@ -255,7 +259,7 @@ class Groth16(PairingSystem):
                 sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket
                 q2, sc2 = pad_for_mesh(q, sc, D)
                 return sharded_msm(mk, mesh, axis, q2, sc2, c=msm_c,
-                                   affine=True)
+                                   affine=True, method=msm_method)
 
             outs = (smsm(self.msm_g1, pk.A_query, assign_plain),
                     smsm(self.msm_g2, pk.B_query_g2, assign_plain),
