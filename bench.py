@@ -131,7 +131,18 @@ def main():
             v[-1] &= 0x2FFF
             return jax.device_put(jnp.asarray(v))
 
-        ifft = jax.jit(dom.ifft)
+        # transfer-free timing: the tunnel drains at ~10-40MB/s, so the
+        # full (N, 2^logn) output must never leave the device -- chain
+        # CH iffts and return a scalar checksum
+        CH = 4
+
+        def chained(a):
+            def body(i, v):
+                return dom.ifft(v)
+            out = jax.lax.fori_loop(0, CH, body, a)
+            return jnp.sum(out, dtype=jnp.uint32)
+
+        ifft = jax.jit(chained)
         drain(ifft(fresh_poly()))
         nt = []
         for _ in range(iters):
@@ -139,7 +150,7 @@ def main():
             drain(a)
             t0 = time.monotonic()
             drain(ifft(a))
-            nt.append(time.monotonic() - t0)
+            nt.append((time.monotonic() - t0) / CH)
         extras.append({
             "metric": f"ifft_fr_elems_per_s_2e{logn}",
             "value": round((1 << logn) / min(nt), 1),

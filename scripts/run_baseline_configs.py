@@ -108,8 +108,7 @@ def step_msm16():
               for j in range(m)]
     c = default_window_bits(m)
     t0 = time.monotonic()
-    out = jax.jit(lambda p, sc: ck.to_affine(mk.msm(p, sc, c)))(
-        pts, jnp.asarray(s))
+    out = jax.jit(lambda p, sc: mk.msm(p, sc, c))(pts, jnp.asarray(s))
     drain(out)
     dt = time.monotonic() - t0
     got = ck.decode_points(out, curve.G1)[0]

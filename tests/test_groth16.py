@@ -46,3 +46,24 @@ def test_groth16_deterministic_with_seed(bn):
     p1 = g16.prover(kp1.pk, primary, aux, seed=9)
     p2 = g16.prover(kp2.pk, primary, aux, seed=9)
     assert p1 == p2
+
+
+def test_groth16_online_verifier_and_affine(bls377):
+    """verifier_process_vk + online verifiers + affine variant agree
+    with the standard verifier (run_r1cs_gg_ppzksnark.tcc:67-127
+    online-path parity; proofs host-built from the setup trapdoor)."""
+    from libsnark_tpu.relations.examples import generate_r1cs_example
+    from libsnark_tpu.proof_systems.groth16 import Groth16
+    from test_verifier_gadget import _trapdoor_groth16
+
+    cs, primary, aux = generate_r1cs_example(bls377.r, 6, 2)
+    vk, proof = _trapdoor_groth16(bls377, cs, primary, aux, seed=5)
+    g16 = Groth16(bls377)
+    assert g16.verifier_strong_IC(vk, primary, proof)
+    pvk = g16.verifier_process_vk(vk)
+    assert g16.online_verifier_strong_IC(pvk, primary, proof)
+    assert g16.online_verifier_weak_IC(pvk, primary, proof)
+    assert g16.verifier_affine(vk, primary, proof)
+    bad = [(primary[0] + 1) % bls377.r] + primary[1:]
+    assert not g16.online_verifier_strong_IC(pvk, bad, proof)
+    assert not g16.online_verifier_strong_IC(pvk, primary[:1], proof)
