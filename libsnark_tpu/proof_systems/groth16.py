@@ -189,9 +189,14 @@ class Groth16(PairingSystem):
                     assign_plain[..., dev.num_inputs + 1:],
                     pk.L_query[0].shape[-1])
                 return H_plain, full, aux_plain
-            wm = pk._wm_jit = jax.jit(wm_fn)
+            # closure_convert lifts the domain's twiddle/permutation
+            # tables out of the graph into jit PARAMETERS -- at 2^20 the
+            # baked-constant HLO (hundreds of MB) overflows the compile
+            # service's request limit
+            closed, consts = jax.closure_convert(wm_fn, assignment_mont)
+            wm = pk._wm_jit = (jax.jit(closed), consts)
 
-        H_plain, full_p, aux_plain = wm(assignment_mont)
+        H_plain, full_p, aux_plain = wm[0](assignment_mont, *wm[1])
         At_a = self.msm_affine("g1", pk.A_query, full_p, msm_c)
         Bt2_a = self.msm_affine("g2", pk.B_query_g2, full_p, msm_c)
         Bt1_a = self.msm_affine("g1", pk.B_query_g1, full_p, msm_c)
@@ -252,8 +257,11 @@ class Groth16(PairingSystem):
                     assign_plain = self.fr.from_mont(assign_mont)
                     aux_plain = assign_plain[..., dev.num_inputs + 1:]
                     return H_plain, assign_plain, aux_plain
-                wm = pk._wm_sharded_jit = jax.jit(wm_fn)
-            H_plain, assign_plain, aux_plain = wm(assignment_mont)
+                closed, consts = jax.closure_convert(wm_fn,
+                                                     assignment_mont)
+                wm = pk._wm_sharded_jit = (jax.jit(closed), consts)
+            H_plain, assign_plain, aux_plain = wm[0](assignment_mont,
+                                                     *wm[1])
 
             def smsm(mk, q, sc):
                 sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket
