@@ -89,15 +89,41 @@ class Radix2Domain:
                               self.fk.N)))
         return tables
 
+    def device_tables(self):
+        """Twiddle/permutation/coset tables as a jit-argument pytree.
+
+        Passing this through the jit boundary makes the (large) integer
+        tables executable PARAMETERS instead of inline HLO literals --
+        at 2^20 the literal form is hundreds of MB of HLO and overflows
+        the remote compile service's request limit.
+        """
+        if getattr(self, "_dt", None) is None:
+            self._dt = {
+                "tw": tuple(jnp.asarray(t) for t in self._tw),
+                "tw_inv": tuple(jnp.asarray(t) for t in self._tw_inv),
+                "perm": jnp.asarray(self._perm),
+                "coset": jnp.asarray(self._powers_table(self.generator)),
+                "coset_inv": jnp.asarray(
+                    self._powers_table(self.generator_inv)),
+            }
+        return self._dt
+
+    def _powers_table(self, g: int):
+        pw = [1] * self.m
+        for i in range(1, self.m):
+            pw[i] = pw[i - 1] * g % self.p
+        return ints_to_limbs([v * self.params.R % self.p for v in pw],
+                             self.fk.N)
+
     # ------------------------------------------------------------------ core
-    def _fft_core(self, a, tables):
+    def _fft_core(self, a, tables, perm=None):
         """In-order input -> in-order output iterative CT NTT.
 
         a: (N, m) Montgomery limbs.
         """
         fk = self.fk
         m, logm = self.m, self.logm
-        a = a[..., jnp.asarray(self._perm)]
+        a = a[..., jnp.asarray(self._perm) if perm is None else perm]
         for s in range(1, logm + 1):
             half = 1 << (s - 1)
             blocks = m >> s
@@ -121,13 +147,16 @@ class Radix2Domain:
                           axis=-2).reshape(shp + (m,))
         return a
 
-    def fft(self, a):
+    def fft(self, a, dt=None):
         """Evaluate: coefficients -> values on the domain (natural order)."""
+        if dt is not None:
+            return self._fft_core(a, dt["tw"], dt["perm"])
         return self._fft_core(a, self._tw)
 
-    def ifft(self, a):
+    def ifft(self, a, dt=None):
         """Interpolate: values -> coefficients, scaled by 1/m."""
-        out = self._fft_core(a, self._tw_inv)
+        out = (self._fft_core(a, dt["tw_inv"], dt["perm"])
+               if dt is not None else self._fft_core(a, self._tw_inv))
         return self.fk.mul_small(out, self.m_inv)
 
     # ------------------------------------------------------------- coset forms
@@ -142,11 +171,20 @@ class Radix2Domain:
         tbl = tbl.reshape((fk.N,) + (1,) * (a.ndim - 2) + (self.m,))
         return fk.mul(a, jnp.broadcast_to(tbl, a.shape))
 
-    def coset_fft(self, a, g: int = None):
+    def _mul_by_table(self, a, tbl):
+        fk = self.fk
+        tbl = tbl.reshape((fk.N,) + (1,) * (a.ndim - 2) + (self.m,))
+        return fk.mul(a, jnp.broadcast_to(tbl, a.shape))
+
+    def coset_fft(self, a, g: int = None, dt=None):
+        if dt is not None and g is None:
+            return self.fft(self._mul_by_table(a, dt["coset"]), dt)
         g = self.generator if g is None else g
         return self.fft(self._mul_by_powers(a, g))
 
-    def icoset_fft(self, a, g: int = None):
+    def icoset_fft(self, a, g: int = None, dt=None):
+        if dt is not None and g is None:
+            return self._mul_by_table(self.ifft(a, dt), dt["coset_inv"])
         g = self.generator if g is None else g
         ginv = pow(g, -1, self.p)
         return self._mul_by_powers(self.ifft(a), ginv)

@@ -106,13 +106,15 @@ class FourStepDomain:
         return self._constraint(
             out, P(None, self.axis) if self.m % D == 0 else P())
 
-    def fft(self, a):
+    def fft(self, a, dt=None):
         return self._four_step(a, fwd=True)
 
-    def ifft(self, a):
+    def ifft(self, a, dt=None):
         return self._four_step(a, fwd=False)
 
-    # -- coset variants (same surface as Radix2Domain) ------------------------
+    # -- coset variants (same surface as Radix2Domain; the dt pytree is
+    # accepted for signature parity and ignored -- four-step tables are
+    # small at dryrun scale) --------------------------------------------------
     def _mul_by_powers(self, a, g: int):
         fk = self.fk
         pw = [1] * self.m
@@ -122,11 +124,11 @@ class FourStepDomain:
             [v * self.params.R % self.p for v in pw], fk.N))
         return fk.mul(a, tbl)
 
-    def coset_fft(self, a, g: int = None):
+    def coset_fft(self, a, g: int = None, dt=None):
         g = self.generator if g is None else g
         return self.fft(self._mul_by_powers(a, g))
 
-    def icoset_fft(self, a, g: int = None):
+    def icoset_fft(self, a, g: int = None, dt=None):
         g = self.generator if g is None else g
         return self._mul_by_powers(self.ifft(a), pow(g, -1, self.p))
 

@@ -178,8 +178,12 @@ class Groth16(PairingSystem):
         # stays in the size class the compile service handles)
         wm = getattr(pk, "_wm_jit", None)
         if wm is None:
-            def wm_fn(assign_mont):
-                H = qap_witness_map(dev, domain, assign_mont)  # (N, m) mont
+            # the CSR matrices and NTT tables are passed as jit ARGUMENT
+            # pytrees: as inline literals the 2^20 HLO is hundreds of MB
+            # and overflows the compile service's request limit
+            def wm_fn(assign_mont, dev_arrs, dt):
+                H = qap_witness_map(dev, domain, assign_mont,
+                                    dev_arrs, dt)        # (N, m) mont
                 H_plain = self.pad_to(
                     self.fr.from_mont(H)[..., : domain.m - 1],
                     pk.H_query[0].shape[-1])
@@ -189,14 +193,10 @@ class Groth16(PairingSystem):
                     assign_plain[..., dev.num_inputs + 1:],
                     pk.L_query[0].shape[-1])
                 return H_plain, full, aux_plain
-            # closure_convert lifts the domain's twiddle/permutation
-            # tables out of the graph into jit PARAMETERS -- at 2^20 the
-            # baked-constant HLO (hundreds of MB) overflows the compile
-            # service's request limit
-            closed, consts = jax.closure_convert(wm_fn, assignment_mont)
-            wm = pk._wm_jit = (jax.jit(closed), consts)
+            wm = pk._wm_jit = (jax.jit(wm_fn), dev.device_arrays(),
+                               domain.device_tables())
 
-        H_plain, full_p, aux_plain = wm[0](assignment_mont, *wm[1])
+        H_plain, full_p, aux_plain = wm[0](assignment_mont, wm[1], wm[2])
         At_a = self.msm_affine("g1", pk.A_query, full_p, msm_c)
         Bt2_a = self.msm_affine("g2", pk.B_query_g2, full_p, msm_c)
         Bt1_a = self.msm_affine("g1", pk.B_query_g1, full_p, msm_c)
@@ -251,17 +251,17 @@ class Groth16(PairingSystem):
             # partitioned executables -- the round-1 dryrun timeout
             wm = getattr(pk, "_wm_sharded_jit", None)
             if wm is None:
-                def wm_fn(assign_mont):
-                    H = qap_witness_map(dev, domain, assign_mont)
+                def wm_fn(assign_mont, dev_arrs):
+                    H = qap_witness_map(dev, domain, assign_mont,
+                                        dev_arrs)
                     H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
                     assign_plain = self.fr.from_mont(assign_mont)
                     aux_plain = assign_plain[..., dev.num_inputs + 1:]
                     return H_plain, assign_plain, aux_plain
-                closed, consts = jax.closure_convert(wm_fn,
-                                                     assignment_mont)
-                wm = pk._wm_sharded_jit = (jax.jit(closed), consts)
+                wm = pk._wm_sharded_jit = (jax.jit(wm_fn),
+                                           dev.device_arrays())
             H_plain, assign_plain, aux_plain = wm[0](assignment_mont,
-                                                     *wm[1])
+                                                     wm[1])
 
             def smsm(mk, q, sc):
                 sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket

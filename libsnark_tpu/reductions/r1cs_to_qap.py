@@ -70,36 +70,44 @@ def qap_instance_map_with_evaluation(cs, domain, t: int):
         degree=domain.m, num_inputs=cs.num_inputs, num_variables=nv)
 
 
-def qap_witness_map(r1cs_dev, domain, assignment_mont):
+def qap_witness_map(r1cs_dev, domain, assignment_mont, dev_arrs=None,
+                    dt=None):
     """Compute coefficients of H(x) = (A(x)B(x) - C(x)) / Z(x) on device.
 
     r1cs_dev: R1CSDevice; assignment_mont: (N, num_vars+1) Montgomery limbs
     with the constant 1 at index 0. Returns (N, m) Montgomery coefficients
     (degree <= m-2: the last column is zero).
+
+    dev_arrs / dt: optional jit-argument pytrees
+    (R1CSDevice.device_arrays() / Radix2Domain.device_tables()) -- with
+    them the large integer tables enter the executable as PARAMETERS,
+    not inline literals (the 2^20 literal HLO overflows the compile
+    service's request limit).
     """
     fk = domain.fk
     m = domain.m
     n = r1cs_dev.num_constraints
     k = r1cs_dev.num_inputs
+    da = dev_arrs or {}
 
-    aA = r1cs_dev.A.evaluate(fk, assignment_mont, m)
-    aB = r1cs_dev.B.evaluate(fk, assignment_mont, m)
+    aA = r1cs_dev.A.evaluate(fk, assignment_mont, m, da.get("A"))
+    aB = r1cs_dev.B.evaluate(fk, assignment_mont, m, da.get("B"))
     # input consistency rows: aA[n + i] = s_i for i = 0..k
     aA = jnp.concatenate(
         [aA[..., :n], assignment_mont[..., :k + 1], aA[..., n + k + 1:]],
         axis=-1)
 
-    cA = domain.ifft(aA)
-    cB = domain.ifft(aB)
-    eA = domain.coset_fft(cA)
-    eB = domain.coset_fft(cB)
+    cA = domain.ifft(aA, dt)
+    cB = domain.ifft(aB, dt)
+    eA = domain.coset_fft(cA, dt=dt)
+    eB = domain.coset_fft(cB, dt=dt)
     H = fk.mul(eA, eB)
 
-    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m)
-    eC = domain.coset_fft(domain.ifft(aC))
+    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m, da.get("C"))
+    eC = domain.coset_fft(domain.ifft(aC, dt), dt=dt)
     H = fk.sub(H, eC)
     H = domain.divide_by_z_on_coset(H)
-    return domain.icoset_fft(H)
+    return domain.icoset_fft(H, dt=dt)
 
 
 def qap_witness_map_zk(r1cs_dev, domain, assignment_mont, d1_m, d2_m, d3_m):

@@ -111,18 +111,31 @@ class SparseMatrix:
     num_rows: int
     num_cols: int
 
-    def evaluate(self, fk, assignment, num_segments: int):
+    def device_arrays(self):
+        """Matrix data as a pytree of device arrays -- pass through a
+        jit boundary so the (large) integer tables become executable
+        PARAMETERS instead of inline HLO literals (at 2^20 the literal
+        form overflows the compile service's request-size limit)."""
+        import jax.numpy as jnp
+        return {"rows": jnp.asarray(self.rows),
+                "cols": jnp.asarray(self.cols),
+                "coeffs": jnp.asarray(self.coeffs)}
+
+    def evaluate(self, fk, assignment, num_segments: int, arrs=None):
         """<M_j, s> for all rows j.
 
         assignment: (N, num_vars+1) device Montgomery limbs (index 0 = 1).
+        arrs: optional device_arrays() pytree (traced arguments).
         Returns (N, num_segments) Montgomery values.
         """
         import jax
         import jax.numpy as jnp
-        vals = jnp.take(assignment, jnp.asarray(self.cols), axis=-1)
-        prod = fk.mul(vals, jnp.asarray(self.coeffs))     # (N, nnz)
+        if arrs is None:
+            arrs = self.device_arrays()
+        vals = jnp.take(assignment, arrs["cols"], axis=-1)
+        prod = fk.mul(vals, arrs["coeffs"])               # (N, nnz)
         sums = jax.ops.segment_sum(jnp.moveaxis(prod, -1, 0),
-                                   jnp.asarray(self.rows),
+                                   arrs["rows"],
                                    num_segments=num_segments)  # (S, N)
         return fk.reduce_lazy(jnp.moveaxis(sums, 0, -1))
 
@@ -161,3 +174,8 @@ class R1CSDevice:
                    num_constraints=cs.num_constraints,
                    num_inputs=cs.num_inputs,
                    num_variables=cs.num_variables, p=cs.p)
+
+    def device_arrays(self):
+        """All three matrices as a jit-argument pytree."""
+        return {"A": self.A.device_arrays(), "B": self.B.device_arrays(),
+                "C": self.C.device_arrays()}
