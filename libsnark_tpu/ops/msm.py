@@ -288,6 +288,12 @@ class MSMKernel:
             rounds_pad = int(mean + 2.5 * math.sqrt(
                 2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
             rounds_pad = min(max(rounds_pad, 8), max(m, 2))
+            # cap the one-shot chunk lane count (~4M lanes keeps the
+            # working set under HBM: at 2^20 the uncapped chunk wants
+            # ~36M lanes = 27.7GB); deeper buckets just take extra
+            # chunk-loop iterations
+            rounds_pad = min(rounds_pad,
+                             max(16, (1 << 22) // (W * (B + 1))))
         rounds_pad += rounds_pad % 2                     # even (clean tree)
 
         order, starts, counts = self._sort_and_bounds(digits, m, B, c)
