@@ -137,18 +137,63 @@ class MSMKernel:
         S = self.window_sums_auto(points_aff, scalars, c)
         return self.combine_windows(S, c)
 
+    # segment size for very large MSMs: per-segment graphs stay in the
+    # (well-tested, compile-service-sized) 2^16 class; window sums from
+    # disjoint segments combine by plain point addition
+    SEGMENT = 1 << 16
+
     def window_sums_auto(self, points_aff, scalars, c: int):
         """Dense bucket-matrix path for large batches; the sequential
         rake below the threshold (the rake's per-round cost only hurts
         at scale, and the dense graph compiles slower -- not worth it
-        for tiny MSMs). LIBSNARK_TPU_MSM_DENSE: 1 force dense, 0 force
-        rake, auto = by size."""
+        for tiny MSMs). Batches beyond SEGMENT are scanned in
+        SEGMENT-point slices (one compiled body, bounded compile-time
+        and HBM working set). LIBSNARK_TPU_MSM_DENSE: 1 force dense,
+        0 force rake, auto = by size."""
         flag = os.environ.get("LIBSNARK_TPU_MSM_DENSE", "auto")
         m = scalars.shape[-1]
+        if m > self.SEGMENT and flag != "0":
+            return self._window_sums_segmented(points_aff, scalars, c)
         use_dense = (flag == "1" or (flag not in ("0",) and m >= 2048))
         if use_dense:
             return self.window_sums_dense(points_aff, scalars, c)
         return self.window_sums(points_aff, scalars, c)
+
+    def _window_sums_segmented(self, points_aff, scalars, c: int):
+        ck = self.ck
+        m = scalars.shape[-1]
+        S = self.SEGMENT
+        pad = (-m) % S
+        x, y, inf = points_aff
+        if pad:
+            cfg = lambda a, v=0: jnp.pad(
+                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                constant_values=v)
+            x, y = cfg(x), cfg(y)
+            inf = cfg(inf, True)
+            scalars = jnp.pad(scalars,
+                              [(0, 0)] * (scalars.ndim - 1) + [(0, pad)])
+        nseg = (m + pad) // S
+
+        def to_segs(a):
+            return jnp.moveaxis(
+                a.reshape(a.shape[:-1] + (nseg, S)), -2, 0)
+
+        segs = (to_segs(x), to_segs(y), to_segs(inf))
+        sc_segs = to_segs(scalars)
+
+        def body(acc, seg):
+            px, py, pinf, sc = seg
+            Sw = self.window_sums_dense((px, py, pinf), sc, c)
+            # window_sums returns window-leading; accumulate limbs-first
+            Sw_l = _tree_map(lambda a: jnp.moveaxis(a, 0, -2), Sw)
+            return ck.add(acc, Sw_l), None
+
+        W = -(-self.scalar_bits // c) + 1
+        acc0 = ck.zero((W, 1))                # limbs-first (.., W, 1)
+        out, _ = jax.lax.scan(body, acc0,
+                              (segs[0], segs[1], segs[2], sc_segs))
+        return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), out)
 
     def window_sums(self, points_aff, scalars, c: int):
         """Per-window bucket-aggregated sums S_w (leading axis W).
