@@ -160,3 +160,51 @@ def test_fooram_cpu_checker_gadget():
         assert pb.val(a1) == acc_after and pb.val(p1) == pc_after
         assert pb.is_satisfied()
         state_acc, state_pc = acc_after, pc_after
+
+
+def test_gen_ram_example_simple():
+    """Reference gen_ram_example_simple parity (ram_examples.tcc:24):
+    sampled example accepts iff satisfiable."""
+    from libsnark_tpu.relations.examples import gen_ram_example_simple
+    from libsnark_tpu.relations.tinyram import (
+        TinyRAMParams, TinyRAMUnifiedExecutor, tinyram_boot_trace)
+    ap = TinyRAMParams(w=16, k=4)
+    for sat in (True, False):
+        prog, primary, aux, T = gen_ram_example_simple(ap, 16, 8, sat, seed=3)
+        assert prog.size == 8 and len(primary) == 8
+        ex = TinyRAMUnifiedExecutor(ap, prog)
+        boot = tinyram_boot_trace(ap, prog, primary)
+        answer, accepted, _ = ex.run_from_boot(boot, primary, aux, T)
+        assert accepted == sat
+
+
+def test_gen_ram_example_complex():
+    """Reference gen_ram_example_complex parity (ram_examples.tcc:77):
+    byte-addressed memory round trip; acceptance controlled by the
+    first input word."""
+    from libsnark_tpu.relations.examples import gen_ram_example_complex
+    from libsnark_tpu.relations.tinyram import (
+        TinyRAMParams, TinyRAMUnifiedExecutor, tinyram_boot_trace)
+    ap = TinyRAMParams(w=16, k=4)
+    for sat in (True, False):
+        prog, primary, aux, T = gen_ram_example_complex(ap, 16, 8, sat, seed=5)
+        ex = TinyRAMUnifiedExecutor(ap, prog)
+        boot = tinyram_boot_trace(ap, prog, primary)
+        answer, accepted, _ = ex.run_from_boot(boot, primary, aux, T)
+        assert accepted == sat
+
+
+def test_gen_ram_example_complex_in_circuit():
+    """The complex example proves in the universal circuit."""
+    from libsnark_tpu.relations.examples import gen_ram_example_complex
+    from libsnark_tpu.relations.tinyram import TinyRAMParams
+    from libsnark_tpu.gadgets.ram_universal import ram_to_r1cs_instance_map
+    P = int("21888242871839275222246405745257275088"
+            "548364400416034343698204186575808495617")
+    ap = TinyRAMParams(w=16, k=4)
+    B, T = 12, 6
+    prog, primary, aux, _ = gen_ram_example_complex(ap, B, T, True, seed=9)
+    pb, g = ram_to_r1cs_instance_map(P, ap, B, T)
+    answer, accepted = g.generate_r1cs_witness(prog, primary, aux)
+    assert accepted
+    assert pb.first_unsatisfied() is None
