@@ -10,9 +10,11 @@ inputs without revealing them. Proof = BCTV14's 8 elements + the
 knowledge commitment g_Aau over the authenticated inputs + muA.
 
 Signature abstraction (reference r1cs_ppzkadsnark_signature.hpp; the
-reference instantiates Ed25519/SUPERCOP): instantiated here as Schnorr
-over the SNARK curve's G1 with SHA-256 -- same interface
-(sigGen/sigSign/sigVerif/sigBatchVerif).
+reference instantiates Ed25519/SUPERCOP): two instantiations with the
+same interface (sigGen/sigSign/sigVerif/sigBatchVerif) -- Schnorr over
+the SNARK curve's G1 with SHA-256 (default), and real RFC 8032 Ed25519
+(common/ed25519.py, the reference's SUPERCOP equivalent) via
+``ADSNARK(curve, sig_scheme="ed25519")``.
 """
 from __future__ import annotations
 
@@ -171,9 +173,13 @@ class ADSNARKProof:
 class ADSNARK(PairingSystem):
     """r1cs_ppzkadsnark over a named curve."""
 
-    def __init__(self, curve):
+    def __init__(self, curve, sig_scheme: str = "schnorr"):
         super().__init__(curve)
-        self.sig = SchnorrSignature(curve)
+        if sig_scheme == "ed25519":
+            from ..common.ed25519 import Ed25519Signature
+            self.sig = Ed25519Signature(curve)
+        else:
+            self.sig = SchnorrSignature(curve)
 
     # -- authentication authority ------------------------------------------
     def auth_generator(self, seed: Optional[int] = None) -> AuthKeys:
