@@ -328,3 +328,296 @@ class Fp12Gadgets:
                       for j in range(3)]
             halves.append(F6(*coords))
         return F12(*halves)
+
+
+class Fp3Gadgets:
+    """Cubic extension Fp[v]/(v^3 - nr); elements = (c0, c1, c2) LCs
+    (reference gadgetlib1/gadgets/fields/fp3_gadgets.hpp: mul/sqr/inv
+    gadget family for the MNT towers)."""
+
+    def __init__(self, pb: Protoboard, non_residue: int, prefix="fp3"):
+        self.pb = pb
+        self.nr = non_residue % pb.p
+        self.prefix = prefix
+        self._ctr = 0
+        self._wq = []
+
+    def _var(self, tag):
+        self._ctr += 1
+        return PBVariable().allocate(self.pb,
+                                     f"{self.prefix}.{tag}{self._ctr}")
+
+    def generate_witness(self):
+        for fn in self._wq:
+            fn()
+
+    # -- free ops ----------------------------------------------------------
+    def const(self, e):
+        return (_lc(int(e.c0)), _lc(int(e.c1)), _lc(int(e.c2)))
+
+    def zero(self):
+        return (_lc(0), _lc(0), _lc(0))
+
+    def one(self):
+        return (_lc(1), _lc(0), _lc(0))
+
+    def add(self, a, b):
+        return tuple(x + y for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        return tuple(x - y for x, y in zip(a, b))
+
+    def neg(self, a):
+        return tuple(-x for x in a)
+
+    def scale_int(self, a, k: int):
+        k %= self.pb.p
+        return tuple(x * k for x in a)
+
+    def mul_by_v(self, a):
+        """Multiply by v: (nr*c2, c0, c1). Linear."""
+        return (a[2] * self.nr, a[0], a[1])
+
+    # -- constrained ops -----------------------------------------------------
+    def mul(self, a, b):
+        """Karatsuba-3: 6 product constraints."""
+        pb, p, nr = self.pb, self.pb.p, self.nr
+        v0, v1, v2 = self._var("v0"), self._var("v1"), self._var("v2")
+        t1, t2, t3 = self._var("t1"), self._var("t2"), self._var("t3")
+        pb.add_r1cs_constraint(a[0], b[0], v0, "fp3_v0")
+        pb.add_r1cs_constraint(a[1], b[1], v1, "fp3_v1")
+        pb.add_r1cs_constraint(a[2], b[2], v2, "fp3_v2")
+        pb.add_r1cs_constraint(a[1] + a[2], b[1] + b[2], t1, "fp3_t1")
+        pb.add_r1cs_constraint(a[0] + a[1], b[0] + b[1], t2, "fp3_t2")
+        pb.add_r1cs_constraint(a[0] + a[2], b[0] + b[2], t3, "fp3_t3")
+
+        def wit(a=a, b=b, vars_=(v0, v1, v2, t1, t2, t3)):
+            av = [pb.lc_val(x) for x in a]
+            bv = [pb.lc_val(x) for x in b]
+            vals = (av[0] * bv[0], av[1] * bv[1], av[2] * bv[2],
+                    (av[1] + av[2]) * (bv[1] + bv[2]),
+                    (av[0] + av[1]) * (bv[0] + bv[1]),
+                    (av[0] + av[2]) * (bv[0] + bv[2]))
+            for var, val in zip(vars_, vals):
+                pb.setval(var, val % p)
+        self._wq.append(wit)
+        c0 = _lc(v0) + (_lc(t1) - v1 - v2) * nr
+        c1 = _lc(t2) - v0 - v1 + _lc(v2) * nr
+        c2 = _lc(t3) - v0 - v2 + _lc(v1)
+        return (c0, c1, c2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        """Witness the inverse (libff Fp3 inverse formula), constrain
+        a * a^{-1} == 1."""
+        pb, p, nr = self.pb, self.pb.p, self.nr
+        iv = (self._var("i0"), self._var("i1"), self._var("i2"))
+
+        def wit(a=a, iv=iv):
+            a0, a1, a2 = (pb.lc_val(x) for x in a)
+            c0 = (a0 * a0 - nr * a1 * a2) % p
+            c1 = (nr * a2 * a2 - a0 * a1) % p
+            c2 = (a1 * a1 - a0 * a2) % p
+            t = pow((a0 * c0 + nr * (a2 * c1 + a1 * c2)) % p, -1, p)
+            for var, cv in zip(iv, (c0, c1, c2)):
+                pb.setval(var, t * cv % p)
+        self._wq.append(wit)
+        inv = tuple(_lc(v) for v in iv)
+        prod = self.mul(a, inv)
+        one = self.one()
+        for k in range(3):
+            pb.add_r1cs_constraint(1, prod[k] - one[k], 0, f"fp3_inv{k}")
+        return inv
+
+    def assert_eq(self, a, b, ann="fp3_eq"):
+        for k in range(3):
+            self.pb.add_r1cs_constraint(1, a[k] - b[k], 0, f"{ann}{k}")
+
+    # -- witness helpers -----------------------------------------------------
+    def eval(self, a, F3):
+        return F3(self.pb.lc_val(a[0]), self.pb.lc_val(a[1]),
+                  self.pb.lc_val(a[2]))
+
+    def alloc_input(self, e=None):
+        v = tuple(self._var("in") for _ in range(3))
+        if e is not None:
+            for var, c in zip(v, (e.c0, e.c1, e.c2)):
+                self.pb.setval(var, int(c))
+        return tuple(_lc(x) for x in v), v
+
+
+class Fp4Gadgets:
+    """Fp4 = Fp2[s]/(s^2 - xi), xi an Fp2 non-residue; elements =
+    (c0, c1) of Fp2 pairs (reference fp4_gadgets.hpp, the MNT4 Fq4)."""
+
+    def __init__(self, fp2: Fp2Gadgets, xi_host, host_F4, prefix="fp4"):
+        self.fp2 = fp2
+        self.xi0 = int(xi_host.c0)
+        self.xi1 = int(xi_host.c1)
+        self.host_F4 = host_F4
+
+    def mul_by_xi(self, x):
+        return self.fp2.mul_const(x, self.xi0, self.xi1)
+
+    def const(self, e):
+        f = self.fp2
+        return (f.const(e.c0), f.const(e.c1))
+
+    def zero(self):
+        z = self.fp2.zero()
+        return (z, z)
+
+    def one(self):
+        return (self.fp2.one(), self.fp2.zero())
+
+    def add(self, a, b):
+        f = self.fp2
+        return (f.add(a[0], b[0]), f.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        f = self.fp2
+        return (f.sub(a[0], b[0]), f.sub(a[1], b[1]))
+
+    def neg(self, a):
+        f = self.fp2
+        return (f.neg(a[0]), f.neg(a[1]))
+
+    def conjugate(self, a):
+        """Unitary inverse (Frobenius^2 component): (c0, -c1)."""
+        return (a[0], self.fp2.neg(a[1]))
+
+    def mul(self, a, b):
+        """Karatsuba over Fp2: 3 Fp2 muls (9 constraints)."""
+        f = self.fp2
+        v0 = f.mul(a[0], b[0])
+        v1 = f.mul(a[1], b[1])
+        t = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        c0 = f.add(v0, self.mul_by_xi(v1))
+        c1 = f.sub(f.sub(t, v0), v1)
+        return (c0, c1)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        """Host-witnessed inverse + product-is-one constraints."""
+        f, pb = self.fp2, self.fp2.pb
+        iv = tuple(f._var("fp4i") for _ in range(4))
+
+        def wit(a=a, iv=iv):
+            F4 = self.host_F4
+            F2 = F4.base_field
+            av = F4(F2(pb.lc_val(a[0][0]), pb.lc_val(a[0][1])),
+                    F2(pb.lc_val(a[1][0]), pb.lc_val(a[1][1])))
+            r = av.inverse()
+            for var, val in zip(iv, (r.c0.c0, r.c0.c1, r.c1.c0, r.c1.c1)):
+                pb.setval(var, int(val))
+        f._wq.append(wit)
+        inv = ((_lc(iv[0]), _lc(iv[1])), (_lc(iv[2]), _lc(iv[3])))
+        prod = self.mul(a, inv)
+        one = self.one()
+        f.assert_eq(prod[0], one[0], "fp4_inv0")
+        f.assert_eq(prod[1], one[1], "fp4_inv1")
+        return inv
+
+    def assert_eq(self, a, b, ann="fp4_eq"):
+        self.fp2.assert_eq(a[0], b[0], ann + "c0")
+        self.fp2.assert_eq(a[1], b[1], ann + "c1")
+
+    def eval(self, a, F4):
+        f = self.fp2
+        F2 = F4.base_field
+        return F4(f.eval(a[0], F2), f.eval(a[1], F2))
+
+    def alloc_input(self, e=None):
+        (l0, v0) = self.fp2.alloc_input(e.c0 if e is not None else None)
+        (l1, v1) = self.fp2.alloc_input(e.c1 if e is not None else None)
+        return (l0, l1), (v0, v1)
+
+
+class Fp6_2over3Gadgets:
+    """Fp6 = Fp3[w]/(w^2 - v); elements = (c0, c1) of Fp3 triples
+    (reference fp6_gadgets.hpp [2-over-3], the MNT6 Fq6 / the BW6-761
+    GT field)."""
+
+    def __init__(self, fp3: Fp3Gadgets, host_F6, prefix="fp6_2o3"):
+        self.fp3 = fp3
+        self.host_F6 = host_F6
+
+    def const(self, e):
+        f = self.fp3
+        return (f.const(e.c0), f.const(e.c1))
+
+    def zero(self):
+        z = self.fp3.zero()
+        return (z, z)
+
+    def one(self):
+        return (self.fp3.one(), self.fp3.zero())
+
+    def add(self, a, b):
+        f = self.fp3
+        return (f.add(a[0], b[0]), f.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        f = self.fp3
+        return (f.sub(a[0], b[0]), f.sub(a[1], b[1]))
+
+    def neg(self, a):
+        f = self.fp3
+        return (f.neg(a[0]), f.neg(a[1]))
+
+    def conjugate(self, a):
+        """Unitary inverse for GT elements: (c0, -c1)."""
+        return (a[0], self.fp3.neg(a[1]))
+
+    def mul(self, a, b):
+        """Karatsuba over Fp3: 3 Fp3 muls (18 constraints);
+        w^2 = v so the cross term shifts through mul_by_v."""
+        f = self.fp3
+        v0 = f.mul(a[0], b[0])
+        v1 = f.mul(a[1], b[1])
+        t = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        c0 = f.add(v0, f.mul_by_v(v1))
+        c1 = f.sub(f.sub(t, v0), v1)
+        return (c0, c1)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        f, pb = self.fp3, self.fp3.pb
+        iv = tuple(f._var("fp6i") for _ in range(6))
+
+        def wit(a=a, iv=iv):
+            F6 = self.host_F6
+            F3 = F6.base_field
+            av = F6(F3(*(pb.lc_val(x) for x in a[0])),
+                    F3(*(pb.lc_val(x) for x in a[1])))
+            r = av.inverse()
+            vals = (r.c0.c0, r.c0.c1, r.c0.c2, r.c1.c0, r.c1.c1, r.c1.c2)
+            for var, val in zip(iv, vals):
+                pb.setval(var, int(val))
+        f._wq.append(wit)
+        inv = (tuple(_lc(v) for v in iv[:3]), tuple(_lc(v) for v in iv[3:]))
+        prod = self.mul(a, inv)
+        one = self.one()
+        f.assert_eq(prod[0], one[0], "fp6_inv0")
+        f.assert_eq(prod[1], one[1], "fp6_inv1")
+        return inv
+
+    def assert_eq(self, a, b, ann="fp6_2o3_eq"):
+        self.fp3.assert_eq(a[0], b[0], ann + "c0")
+        self.fp3.assert_eq(a[1], b[1], ann + "c1")
+
+    def eval(self, a, F6):
+        f = self.fp3
+        F3 = F6.base_field
+        return F6(f.eval(a[0], F3), f.eval(a[1], F3))
+
+    def alloc_input(self, e=None):
+        (l0, v0) = self.fp3.alloc_input(e.c0 if e is not None else None)
+        (l1, v1) = self.fp3.alloc_input(e.c1 if e is not None else None)
+        return (l0, l1), (v0, v1)

@@ -82,3 +82,85 @@ def test_fp12_exp(setup, rng):
     fp2.generate_witness()
     assert fp12.eval(out) == a_host ** e
     assert pb.is_satisfied()
+
+
+# -------------------------------------------------- MNT-shape towers
+# Fp3 / Fp6(2-over-3) tested over the BW6-761 host tower (the same
+# tower shape as MNT6: Fq3 = Fq[v]/(v^3-xi), Fq6 = Fq3[w]/(w^2-v));
+# Fp4 over alt_bn128's Fq2 with xi = 9+u (MNT4's Fq4 shape).
+# Reference: gadgetlib1/gadgets/fields/{fp3,fp4,fp6}_gadgets.hpp.
+
+@pytest.fixture(scope="module")
+def bw6():
+    from libsnark_tpu import get_curve
+    return get_curve("bw6_761")
+
+
+def test_fp3_ops(bw6, rng):
+    from libsnark_tpu.gadgets.fields_gadgets import Fp3Gadgets
+    F3 = bw6.Fq3
+    nr = int(F3.NON_RESIDUE)
+    pb = Protoboard(bw6.q)
+    fp3 = Fp3Gadgets(pb, nr)
+    a_host = F3(*[rng.randrange(bw6.q) for _ in range(3)])
+    b_host = F3(*[rng.randrange(bw6.q) for _ in range(3)])
+    a, _ = fp3.alloc_input(a_host)
+    b, _ = fp3.alloc_input(b_host)
+    m = fp3.mul(a, b)
+    s = fp3.sqr(a)
+    i = fp3.inv(b)
+    vshift = fp3.mul_by_v(a)
+    fp3.generate_witness()
+    assert fp3.eval(m, F3) == a_host * b_host
+    assert fp3.eval(s, F3) == a_host.squared()
+    assert fp3.eval(i, F3) == b_host.inverse()
+    v_elt = F3(0, 1, 0)
+    assert fp3.eval(vshift, F3) == a_host * v_elt
+    assert pb.is_satisfied()
+
+
+def test_fp6_2over3_ops(bw6, rng):
+    from libsnark_tpu.gadgets.fields_gadgets import (
+        Fp3Gadgets, Fp6_2over3Gadgets)
+    F3, F6 = bw6.Fq3, bw6.Fq6
+    pb = Protoboard(bw6.q)
+    fp3 = Fp3Gadgets(pb, int(F3.NON_RESIDUE))
+    fp6 = Fp6_2over3Gadgets(fp3, F6)
+    a_host = F6(F3(*[rng.randrange(bw6.q) for _ in range(3)]),
+                F3(*[rng.randrange(bw6.q) for _ in range(3)]))
+    b_host = F6(F3(*[rng.randrange(bw6.q) for _ in range(3)]),
+                F3(*[rng.randrange(bw6.q) for _ in range(3)]))
+    a, _ = fp6.alloc_input(a_host)
+    b, _ = fp6.alloc_input(b_host)
+    m = fp6.mul(a, b)
+    s = fp6.sqr(a)
+    i = fp6.inv(b)
+    cj = fp6.conjugate(a)
+    fp3.generate_witness()
+    assert fp6.eval(m, F6) == a_host * b_host
+    assert fp6.eval(s, F6) == a_host.squared()
+    assert fp6.eval(i, F6) == b_host.inverse()
+    assert fp6.eval(cj, F6) == F6(a_host.c0, -a_host.c1)
+    assert pb.is_satisfied()
+
+
+def test_fp4_ops(bn254, rng):
+    from libsnark_tpu.fields import make_quadratic_ext
+    from libsnark_tpu.gadgets.fields_gadgets import Fp2Gadgets, Fp4Gadgets
+    F2 = bn254.Fq2
+    F4 = make_quadratic_ext(F2, bn254.xi, "test.Fq4")
+    pb = Protoboard(bn254.q)
+    fp2 = Fp2Gadgets(pb, int(F2.NON_RESIDUE))
+    fp4 = Fp4Gadgets(fp2, bn254.xi, F4)
+    a_host = F4(_rand2(F2, rng), _rand2(F2, rng))
+    b_host = F4(_rand2(F2, rng), _rand2(F2, rng))
+    a, _ = fp4.alloc_input(a_host)
+    b, _ = fp4.alloc_input(b_host)
+    m = fp4.mul(a, b)
+    s = fp4.sqr(a)
+    i = fp4.inv(b)
+    fp2.generate_witness()
+    assert fp4.eval(m, F4) == a_host * b_host
+    assert fp4.eval(s, F4) == a_host.squared()
+    assert fp4.eval(i, F4) == b_host.inverse()
+    assert pb.is_satisfied()
