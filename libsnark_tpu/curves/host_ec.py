@@ -178,3 +178,54 @@ def find_point_from_x(group, x):
             return group.point(xf, y)
         except ValueError:
             x += 1
+
+
+def find_wnaf(window_size: int, scalar: int):
+    """Width-w non-adjacent form of a non-negative scalar: digit list,
+    LSB first, each digit odd in (-2^w, 2^w) or zero (libff
+    libff/algebra/scalar_multiplication/wnaf.tcc find_wnaf parity)."""
+    assert scalar >= 0
+    res = []
+    k = scalar
+    full = 1 << (window_size + 1)
+    while k > 0:
+        if k & 1:
+            d = k % full
+            if d >= full // 2:
+                d -= full
+            k -= d
+        else:
+            d = 0
+        res.append(d)
+        k >>= 1
+    return res
+
+
+def wnaf_mul(point, scalar: int, window_size: int = None):
+    """Fixed-window wNAF scalar multiplication (libff
+    fixed_window_wnaf_exp / opt_window_wnaf_exp equivalent): precompute
+    odd multiples P, 3P, .., (2^w - 1)P, then one double per bit and one
+    add per ~(w+1) bits."""
+    if scalar == 0:
+        return point.group.zero()
+    neg = scalar < 0
+    scalar = abs(scalar)
+    if window_size is None:
+        # libff opt_window_wnaf_exp-style size heuristic
+        b = scalar.bit_length()
+        window_size = 2 if b < 16 else (3 if b < 64 else
+                                        (4 if b < 256 else 5))
+    digits = find_wnaf(window_size, scalar)
+    # odd multiples table: tbl[i] = (2i+1) P
+    dbl = point.dbl()
+    tbl = [point]
+    for _ in range((1 << window_size) - 1):
+        tbl.append(tbl[-1] + dbl)
+    acc = point.group.zero()
+    for d in reversed(digits):
+        acc = acc.dbl()
+        if d > 0:
+            acc = acc + tbl[(d - 1) // 2]
+        elif d < 0:
+            acc = acc - tbl[(-d - 1) // 2]
+    return -acc if neg else acc

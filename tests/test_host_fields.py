@@ -80,3 +80,23 @@ def test_group_law(curve):
         assert P.dbl() == P + P
         a, b = rng.randrange(curve.r), rng.randrange(curve.r)
         assert P * a + P * b == P * ((a + b) % curve.r)
+
+
+def test_wnaf_mul():
+    """wNAF exponentiation vs plain double-and-add (libff wnaf.tcc)."""
+    import random
+    from libsnark_tpu import get_curve
+    from libsnark_tpu.curves.host_ec import wnaf_mul, find_wnaf
+    bn = get_curve("alt_bn128")
+    rng = random.Random(11)
+    G = bn.G1.one()
+    for w in (2, 3, 4):
+        for _ in range(3):
+            k = rng.randrange(bn.r)
+            assert wnaf_mul(G, k, w) == G * k
+            # NAF reconstructs the scalar
+            assert sum(d << i for i, d in enumerate(find_wnaf(w, k))) == k
+    assert wnaf_mul(G, 0).is_zero()
+    assert wnaf_mul(G, -5) == -(G * 5)
+    # default window heuristic
+    assert wnaf_mul(G, 123456789) == G * 123456789
