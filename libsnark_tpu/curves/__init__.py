@@ -10,8 +10,8 @@ import functools
 _BUILDERS = {}
 
 
-def _register(name, module_name):
-    _BUILDERS[name] = module_name
+def _register(name, module_name, builder="build"):
+    _BUILDERS[name] = (module_name, builder)
 
 
 _register("alt_bn128", "alt_bn128")
@@ -20,6 +20,9 @@ _register("alt_bn128", "alt_bn128")
 _register("bn128", "alt_bn128")
 _register("bls12_377", "bls12_377")
 _register("bw6_761", "bw6_761")
+# the PCD cycle (reference default_types/r1cs_ppzkpcd_pp.hpp:27-38)
+_register("mnt4", "mnt", "build_mnt4")
+_register("mnt6", "mnt", "build_mnt6")
 
 
 @functools.lru_cache(maxsize=None)
@@ -28,8 +31,9 @@ def get_curve(name: str):
     if name not in _BUILDERS:
         raise KeyError(f"unknown curve {name!r}; available: {sorted(_BUILDERS)}")
     import importlib
-    mod = importlib.import_module(f".{_BUILDERS[name]}", __package__)
-    return mod.build()
+    module_name, builder = _BUILDERS[name]
+    mod = importlib.import_module(f".{module_name}", __package__)
+    return getattr(mod, builder)()
 
 
 def available_curves():

@@ -69,30 +69,39 @@ class PairingEngine:
             return (lift2(Q.x) / self._w2, lift2(Q.y) / self._w3)
 
     # -- Miller machinery ------------------------------------------------------
-    @staticmethod
-    def _line(P1, P2, T):
+    # Tangent slope is (3x^2 + a)/(2y); `_ea` holds the curve's a
+    # coefficient embedded in the target field (None for a = 0 families;
+    # the MNT engines set it -- MNT curves have generic j-invariant).
+    _ea = None
+
+    def _tangent_slope(self, x1, y1):
+        num = x1 * x1 * 3
+        if self._ea is not None:
+            num = num + self._ea
+        return num / (y1 + y1)
+
+    def _line(self, P1, P2, T):
         """Evaluate the line through P1,P2 (or tangent if equal) at T.
 
-        Points are (x, y) pairs over Fq12; curve has a = 0.
+        Points are (x, y) pairs over the target field.
         Returns a field element; vertical lines return x_T - x_P1.
         """
         x1, y1 = P1
         x2, y2 = P2
         xt, yt = T
         if x1 == x2 and y1 == y2:
-            slope = (x1 * x1 * 3) / (y1 + y1)
+            slope = self._tangent_slope(x1, y1)
         elif x1 == x2:
             return xt - x1
         else:
             slope = (y2 - y1) / (x2 - x1)
         return slope * (xt - x1) - (yt - y1)
 
-    @staticmethod
-    def _add(P1, P2):
+    def _add(self, P1, P2):
         x1, y1 = P1
         x2, y2 = P2
         if x1 == x2 and y1 == y2:
-            slope = (x1 * x1 * 3) / (y1 + y1)
+            slope = self._tangent_slope(x1, y1)
         elif x1 == x2:
             return None  # infinity
         else:
@@ -211,6 +220,106 @@ class W6PairingEngine(PairingEngine):
         if self.twist_type == "M":
             return (lift(Q.x) / self._w2, lift(Q.y) / self._w3)
         return (lift(Q.x) * self._w2, lift(Q.y) * self._w3)
+
+    def final_exponentiation(self, f):
+        m = f.frobenius(3) * f.inverse()          # ^(q^3-1)
+        m = m.frobenius(1) * m                    # ^(q+1)
+        return m ** self._hard_exp                # ^((q^2-q+1)/r)
+
+
+class MNT4PairingEngine(PairingEngine):
+    """Ate pairing for MNT4 (k=4, generic j-invariant, quadratic twist).
+
+    Reference surface: libff mnt4 pairing (the reference's MNT4-based
+    PCD default, common/default_types/r1cs_ppzkpcd_pp.hpp:27-38).
+    GT in Fq4 = Fq2[w]/(w^2 - u), u = (0,1) in Fq2 = Fq[u]/(u^2 - nr).
+    G2 on the u-quadratic twist E'/Fq2: y^2 = x^3 + a*nr*x + (0, b*nr);
+    untwist psi(x, y) = (x/w^2, y/w^3). Miller loop count = t - 1 (ate);
+    final exponentiation (q^4-1)/r = (q^2-1) * (q^2+1)/r.
+    """
+
+    def __init__(self, Fq4, G1, G2, trace, r, curve_a: int):
+        self.Fq12 = Fq4                  # target-field slot
+        self.G1 = G1
+        self.G2 = G2
+        T = trace - 1
+        self.loop_count = abs(T)
+        self.loop_is_neg = T < 0
+        self.family = "mnt4"
+        self.twist_type = "M"
+        self.r = r
+        q = Fq4.char
+        assert (q * q + 1) % r == 0      # r | Phi_4(q)
+        self._hard_exp = (q * q + 1) // r
+        Fq2 = Fq4.base_field
+        u = Fq2(Fq2.base_field.zero(), Fq2.base_field.one())
+        self._w2 = Fq4(u, Fq2.zero())          # w^2 = u
+        self._w3 = Fq4(Fq2.zero(), u)          # w^3 = u * w
+        self._ea = Fq4(Fq2(Fq2.base_field(curve_a)))  # E's a, embedded
+
+    def embed_g1(self, P):
+        if P.is_zero():
+            return None
+        Fq4 = self.Fq12
+        Fq2 = Fq4.base_field
+        lift = lambda c: Fq4(Fq2(c))
+        return (lift(P.x), lift(P.y))
+
+    def embed_g2(self, Q):
+        """G2 on twist E'/Fq2 -> E(Fq4): (x/w^2, y/w^3)."""
+        if Q.is_zero():
+            return None
+        Fq4 = self.Fq12
+        lift = lambda c: Fq4(c)
+        return (lift(Q.x) / self._w2, lift(Q.y) / self._w3)
+
+    def final_exponentiation(self, f):
+        m = f.frobenius(2) * f.inverse()          # ^(q^2-1)
+        return m ** self._hard_exp                # ^((q^2+1)/r)
+
+
+class MNT6PairingEngine(PairingEngine):
+    """Ate pairing for MNT6 (k=6, generic j-invariant, quadratic twist
+    over Fq3). GT in Fq6 = Fq3[w]/(w^2 - v), v = (0,1,0) in
+    Fq3 = Fq[v]/(v^3 - nr). G2 on the v-quadratic twist E'/Fq3:
+    y^2 = x^3 + (0,0,a)x + (b*nr,0,0); untwist (x/w^2, y/w^3).
+    Miller loop = |t - 1|; final exp (q^6-1)/r with the W6 split.
+    """
+
+    def __init__(self, Fq6, G1, G2, trace, r, curve_a: int):
+        self.Fq12 = Fq6
+        self.G1 = G1
+        self.G2 = G2
+        T = trace - 1
+        self.loop_count = abs(T)
+        self.loop_is_neg = T < 0
+        self.family = "mnt6"
+        self.twist_type = "M"
+        self.r = r
+        q = Fq6.char
+        assert (q * q - q + 1) % r == 0  # r | Phi_6(q)
+        self._hard_exp = (q * q - q + 1) // r
+        Fq3 = Fq6.base_field
+        Fq = Fq3.base_field
+        v = Fq3(Fq.zero(), Fq.one(), Fq.zero())
+        self._w2 = Fq6(v, Fq3.zero())          # w^2 = v
+        self._w3 = Fq6(Fq3.zero(), v)          # w^3 = v * w
+        self._ea = Fq6(Fq3(Fq(curve_a)))
+
+    def embed_g1(self, P):
+        if P.is_zero():
+            return None
+        Fq6 = self.Fq12
+        Fq3 = Fq6.base_field
+        lift = lambda c: Fq6(Fq3(c))
+        return (lift(P.x), lift(P.y))
+
+    def embed_g2(self, Q):
+        """G2 on twist E'/Fq3 -> E(Fq6): (x/w^2, y/w^3)."""
+        if Q.is_zero():
+            return None
+        Fq6 = self.Fq12
+        return (Fq6(Q.x) / self._w2, Fq6(Q.y) / self._w3)
 
     def final_exponentiation(self, f):
         m = f.frobenius(3) * f.inverse()          # ^(q^3-1)

@@ -1,0 +1,123 @@
+"""Batched cubic-extension field kernels (libff Fp3_model equivalent).
+
+Elements have shape (3, num_limbs, *batch). Used for G2 arithmetic on
+MNT6 (k=6, quadratic twist over Fq3 -- see curves/mnt.py). Karatsuba-
+style multiplication: 6 base-field muls.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .fp import FpKernel
+
+
+class Fp3Kernel:
+    """Fp[v]/(v^3 - beta) with small integer beta (e.g. 5)."""
+
+    ext_degree = 3
+
+    def __init__(self, fp: FpKernel, non_residue: int):
+        self.fp = fp
+        b = non_residue % fp.p
+        self.beta_is_neg = b > fp.p // 2
+        self.beta_small = fp.p - b if self.beta_is_neg else b
+        self.N = fp.N
+
+    def __hash__(self):
+        return hash((self.fp.p, self.beta_small, self.beta_is_neg, 3))
+
+    def __eq__(self, o):
+        return (isinstance(o, Fp3Kernel) and o.fp == self.fp
+                and o.beta_small == self.beta_small
+                and o.beta_is_neg == self.beta_is_neg)
+
+    # -- structure ---------------------------------------------------------
+    def zeros(self, batch_shape):
+        return jnp.zeros((3, self.N) + tuple(batch_shape), dtype=jnp.uint32)
+
+    def one(self, batch_shape):
+        z = self.fp.zeros(batch_shape)
+        return jnp.stack([self.fp.one(batch_shape), z, z])
+
+    def mul_by_nonresidue(self, a):
+        if self.beta_small == 1:
+            out = a
+        else:
+            out = self.fp.mul_small(a, self.beta_small)
+        return self.fp.neg(out) if self.beta_is_neg else out
+
+    # -- arithmetic -----------------------------------------------------------
+    def add(self, a, b):
+        return jnp.stack([self.fp.add(a[i], b[i]) for i in range(3)])
+
+    def sub(self, a, b):
+        return jnp.stack([self.fp.sub(a[i], b[i]) for i in range(3)])
+
+    def neg(self, a):
+        return jnp.stack([self.fp.neg(a[i]) for i in range(3)])
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mul(self, a, b):
+        # Karatsuba cubic (6 muls; libff Fp3_model::operator* shape)
+        fp = self.fp
+        v0 = fp.mul(a[0], b[0])
+        v1 = fp.mul(a[1], b[1])
+        v2 = fp.mul(a[2], b[2])
+        t12 = fp.mul(fp.add(a[1], a[2]), fp.add(b[1], b[2]))
+        t01 = fp.mul(fp.add(a[0], a[1]), fp.add(b[0], b[1]))
+        t02 = fp.mul(fp.add(a[0], a[2]), fp.add(b[0], b[2]))
+        c0 = fp.add(v0, self.mul_by_nonresidue(
+            fp.sub(fp.sub(t12, v1), v2)))
+        c1 = fp.add(fp.sub(fp.sub(t01, v0), v1),
+                    self.mul_by_nonresidue(v2))
+        c2 = fp.add(fp.sub(fp.sub(t02, v0), v2), v1)
+        return jnp.stack([c0, c1, c2])
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_small(self, a, k: int):
+        return jnp.stack([self.fp.mul_small(a[i], k) for i in range(3)])
+
+    def inv(self, a):
+        # libff Fp3_model::inverse (CH81 method)
+        fp = self.fp
+        t0 = fp.sqr(a[0])
+        t1 = fp.sqr(a[1])
+        t2 = fp.sqr(a[2])
+        t3 = fp.mul(a[0], a[1])
+        t4 = fp.mul(a[0], a[2])
+        t5 = fp.mul(a[1], a[2])
+        c0 = fp.sub(t0, self.mul_by_nonresidue(t5))
+        c1 = fp.sub(self.mul_by_nonresidue(t2), t3)
+        c2 = fp.sub(t1, t4)
+        t6 = fp.inv(fp.add(fp.mul(a[0], c0), self.mul_by_nonresidue(
+            fp.add(fp.mul(a[2], c1), fp.mul(a[1], c2)))))
+        return jnp.stack([fp.mul(t6, c0), fp.mul(t6, c1), fp.mul(t6, c2)])
+
+    # -- predicates / select -------------------------------------------------------
+    def is_zero(self, a):
+        z = jnp.logical_and(self.fp.is_zero(a[0]), self.fp.is_zero(a[1]))
+        return jnp.logical_and(z, self.fp.is_zero(a[2]))
+
+    def eq(self, a, b):
+        e = jnp.logical_and(self.fp.eq(a[0], b[0]), self.fp.eq(a[1], b[1]))
+        return jnp.logical_and(e, self.fp.eq(a[2], b[2]))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[None, None], a, b)
+
+    # -- host conversions -------------------------------------------------------------
+    def encode(self, xs, mont=True):
+        """List of host Fp3 elements (with .c0/.c1/.c2) -> (3, N, len)."""
+        import numpy as np
+        c0 = self.fp.encode([int(x.c0) for x in xs], mont)
+        c1 = self.fp.encode([int(x.c1) for x in xs], mont)
+        c2 = self.fp.encode([int(x.c2) for x in xs], mont)
+        return np.stack([c0, c1, c2])
+
+    def decode(self, arr, mont=True):
+        return (self.fp.decode(arr[0], mont), self.fp.decode(arr[1], mont),
+                self.fp.decode(arr[2], mont))
