@@ -309,6 +309,283 @@ class LooseMUXGadget(GL2Gadget):
         self.ip.generateWitness()
 
 
+class BinaryANDGadget(GL2Gadget):
+    """2-input AND specialization (gadget.hpp:175 BinaryAND_Gadget):
+    one constraint x*y = result."""
+
+    def __init__(self, pb, x, y, result):
+        super().__init__(pb)
+        self.x, self.y, self.result = x, y, result
+
+    def generateConstraints(self):
+        self.pb.add_rank1_constraint(self.x, self.y, self.result,
+                                     "binary_and")
+
+    def generateWitness(self):
+        pb = self.pb
+        pb.setval(self.result, pb.val(self.x) & pb.val(self.y) & 1)
+
+
+class BinaryORGadget(GL2Gadget):
+    """2-input OR (gadget.hpp:255): x + y - result = x*y."""
+
+    def __init__(self, pb, x, y, result):
+        super().__init__(pb)
+        self.x, self.y, self.result = x, y, result
+
+    def generateConstraints(self):
+        self.pb.add_rank1_constraint(
+            self.x, self.y,
+            GL2LinearCombination(self.x) + self.y - self.result,
+            "binary_or")
+
+    def generateWitness(self):
+        pb = self.pb
+        pb.setval(self.result, (pb.val(self.x) | pb.val(self.y)) & 1)
+
+
+class IntegerPackingGadget(GL2Gadget):
+    """Packing without booleanity (gadget.hpp:511
+    R1P_IntegerPacking_Gadget): sum_i bits[i]*2^i = packed; callers
+    guarantee bit-ness elsewhere."""
+
+    def __init__(self, pb, bits, packed):
+        super().__init__(pb)
+        self.bits, self.packed = list(bits), packed
+
+    def generateConstraints(self):
+        s = GL2LinearCombination(0)
+        for i, b in enumerate(self.bits):
+            s = s + GL2LinearCombination(b) * (1 << i)
+        self.pb.add_rank1_constraint(1, s, self.packed, "int_pack")
+
+    def generateWitness(self):
+        v = 0
+        for i, b in enumerate(self.bits):
+            v += self.pb.val(b) << i
+        self.pb.setval(self.packed, v % self.pb.p)
+
+
+class EqualsConstGadget(GL2Gadget):
+    """result = (input == n) for a constant n (gadget.hpp:567
+    R1P_EqualsConst_Gadget): aux*(input-n) = 1-result;
+    result*(input-n) = 0."""
+
+    def __init__(self, pb, inp, n: int, result):
+        super().__init__(pb)
+        self.inp, self.n, self.result = inp, n % pb.p, result
+        self.aux = GL2Variable("eqc_aux")
+
+    def generateConstraints(self):
+        diff = GL2LinearCombination(self.inp) - self.n
+        self.pb.add_rank1_constraint(
+            self.aux, diff, 1 - GL2LinearCombination(self.result),
+            "eqc_aux")
+        self.pb.add_rank1_constraint(self.result, diff, 0, "eqc_zero")
+
+    def generateWitness(self):
+        pb = self.pb
+        d = (pb.val(self.inp) - self.n) % pb.p
+        if d == 0:
+            pb.setval(self.result, 1)
+            pb.setval(self.aux, 0)
+        else:
+            pb.setval(self.result, 0)
+            pb.setval(self.aux, pow(d, -1, pb.p))
+
+
+class ToggleGadget(GL2Gadget):
+    """output = toggle ? oneValue : zeroValue (gadget.hpp:682
+    Toggle_Gadget): toggle*(one-zero) = output-zero."""
+
+    def __init__(self, pb, toggle, zero_value, one_value, output):
+        super().__init__(pb)
+        self.toggle, self.zv, self.ov = toggle, zero_value, one_value
+        self.output = output
+
+    def generateConstraints(self):
+        self.pb.add_rank1_constraint(
+            self.toggle,
+            GL2LinearCombination._coerce(self.ov) - self.zv,
+            GL2LinearCombination(self.output) - self.zv, "toggle")
+
+    def generateWitness(self):
+        pb = self.pb
+        pb.setval(self.output,
+                  pb.eval_lc(self.ov) if pb.val(self.toggle)
+                  else pb.eval_lc(self.zv))
+
+
+class ConditionalFlagGadget(GL2Gadget):
+    """flag = (condition != 0) (gadget.hpp:730
+    ConditionalFlag_Gadget)."""
+
+    def __init__(self, pb, condition, flag):
+        super().__init__(pb)
+        self.condition, self.flag = condition, flag
+        self.aux = GL2Variable("cf_aux")
+
+    def generateConstraints(self):
+        self.pb.add_rank1_constraint(self.aux, self.condition, self.flag,
+                                     "cf_inv")
+        self.pb.add_rank1_constraint(
+            self.condition, 1 - GL2LinearCombination(self.flag), 0,
+            "cf_zero")
+
+    def generateWitness(self):
+        pb = self.pb
+        c = pb.eval_lc(self.condition)
+        if c == 0:
+            pb.setval(self.flag, 0)
+            pb.setval(self.aux, 0)
+        else:
+            pb.setval(self.flag, 1)
+            pb.setval(self.aux, pow(c, -1, pb.p))
+
+
+class LogicImplicationGadget(GL2Gadget):
+    """condition != 0 implies flag == 1 (gadget.hpp:772
+    LogicImplication_Gadget): condition*(1-flag) = 0."""
+
+    def __init__(self, pb, condition, flag):
+        super().__init__(pb)
+        self.condition, self.flag = condition, flag
+
+    def generateConstraints(self):
+        self.pb.add_rank1_constraint(
+            self.condition, 1 - GL2LinearCombination(self.flag), 0,
+            "implies")
+
+    def generateWitness(self):
+        pb = self.pb
+        if pb.eval_lc(self.condition) != 0:
+            pb.setval(self.flag, 1)
+
+
+class ComparisonGadget(GL2Gadget):
+    """less / lessOrEqual between two w-bit words (gadget.hpp:811
+    R1P_Comparison_Gadget): alpha = 2^w + b - a bit-decomposed;
+    lessOrEq = alpha[w]; less = lessOrEq AND (a != b)."""
+
+    def __init__(self, pb, word_bits: int, lhs, rhs, less, less_or_eq):
+        super().__init__(pb)
+        self.w = word_bits
+        self.lhs, self.rhs = lhs, rhs
+        self.less, self.less_or_eq = less, less_or_eq
+        self.alpha = GL2VariableArray(word_bits + 1, "cmp_alpha")
+        self.neq = GL2Variable("cmp_neq")
+
+    def generateConstraints(self):
+        pb, w = self.pb, self.w
+        s = GL2LinearCombination(0)
+        for i, b in enumerate(self.alpha):
+            pb.enforce_booleanity(b)
+            s = s + GL2LinearCombination(b) * (1 << i)
+        diff = (GL2LinearCombination._coerce(self.rhs)
+                - self.lhs + (1 << w))
+        pb.add_rank1_constraint(1, s, diff, "cmp_pack")
+        # lessOrEq == top bit
+        pb.add_rank1_constraint(
+            1, self.alpha[w], self.less_or_eq, "cmp_le")
+        # neq = OR of low bits; less = lessOrEq AND neq
+        self._or = ORGadget(pb, list(self.alpha[:w]), self.neq)
+        self._or.generateConstraints()
+        pb.add_rank1_constraint(self.less_or_eq, self.neq, self.less,
+                                "cmp_less")
+
+    def generateWitness(self):
+        pb, w = self.pb, self.w
+        a = pb.eval_lc(self.lhs)
+        b = pb.eval_lc(self.rhs)
+        alpha = ((1 << w) + b - a) % pb.p
+        for i, bit in enumerate(self.alpha):
+            pb.setval(bit, (alpha >> i) & 1)
+        pb.setval(self.less_or_eq, (alpha >> w) & 1)
+        self._or.generateWitness()
+        pb.setval(self.less, ((alpha >> w) & 1) & pb.val(self.neq))
+
+
+class DualWordGadget(GL2Gadget):
+    """A word held both packed and as bits, kept consistent
+    (gadget.hpp:608 DualWord_Gadget; PACK/UNPACK modes)."""
+
+    def __init__(self, pb, word_bits: int, name="dw"):
+        super().__init__(pb)
+        self.packed = GL2Variable(f"{name}.packed")
+        self.bits = GL2VariableArray(word_bits, f"{name}.bits")
+        self._pack = CompressionPackingGadget(pb, self.bits, self.packed)
+
+    def generateConstraints(self):
+        self._pack.generateConstraints()
+
+    def generateWitness(self, value: int = None):
+        if value is not None:
+            self.pb.setval(self.packed, value)
+        self._pack.generateWitnessFromPacked()
+
+
+class DualWordArrayGadget(GL2Gadget):
+    """Array of DualWords (gadget.hpp:642)."""
+
+    def __init__(self, pb, n: int, word_bits: int, name="dwa"):
+        super().__init__(pb)
+        self.words = [DualWordGadget(pb, word_bits, f"{name}[{i}]")
+                      for i in range(n)]
+
+    def generateConstraints(self):
+        for wg in self.words:
+            wg.generateConstraints()
+
+    def generateWitness(self, values=None):
+        for wg, v in zip(self.words,
+                         values or [None] * len(self.words)):
+            wg.generateWitness(v)
+
+
+# -------------------------------------------------------- gadget factories
+# The reference's field-agnostic factory pattern (gadget.hpp:74:
+# "static method create, such as AND_Gadget::create(...)"): pick the
+# specialization by arity/field. Our single field type is R1P (prime
+# field R1CS), so dispatch is on arity.
+
+def create_and_gadget(pb, inputs, result):
+    ins = list(inputs)
+    if len(ins) == 2:
+        return BinaryANDGadget(pb, ins[0], ins[1], result)
+    return ANDGadget(pb, ins, result)
+
+
+def create_or_gadget(pb, inputs, result):
+    ins = list(inputs)
+    if len(ins) == 2:
+        return BinaryORGadget(pb, ins[0], ins[1], result)
+    return ORGadget(pb, ins, result)
+
+
+def create_inner_product_gadget(pb, A, B, result):
+    return InnerProductGadget(pb, A, B, result)
+
+
+def create_loose_mux_gadget(pb, arr, index, result, success):
+    return LooseMUXGadget(pb, arr, index, result, success)
+
+
+def create_compression_packing_gadget(pb, bits, packed):
+    return CompressionPackingGadget(pb, bits, packed)
+
+
+def create_integer_packing_gadget(pb, bits, packed):
+    return IntegerPackingGadget(pb, bits, packed)
+
+
+def create_equals_const_gadget(pb, inp, n, result):
+    return EqualsConstGadget(pb, inp, n, result)
+
+
+def create_comparison_gadget(pb, word_bits, lhs, rhs, less, less_or_eq):
+    return ComparisonGadget(pb, word_bits, lhs, rhs, less, less_or_eq)
+
+
 # ---------------------------------------------------------------- adapters
 
 def get_constraint_system_from_gadgetlib2(pb: GL2Protoboard):

@@ -76,3 +76,118 @@ def test_adapter_to_core_r1cs_and_snark(bn254):
     kp = g16.generator(cs, seed=5)
     proof = g16.prover(kp.pk, primary, aux, seed=6)
     assert g16.verifier_strong_IC(kp.vk, primary, proof)
+
+
+def test_r1p_specializations():
+    """R1P gadget specializations (gadget.hpp:175,255,511,567,682,730,
+    772,811): binary AND/OR, integer packing, equals-const, toggle,
+    conditional flag, implication, comparison."""
+    from libsnark_tpu.gadgetlib2 import (
+        BinaryANDGadget, BinaryORGadget, IntegerPackingGadget,
+        EqualsConstGadget, ToggleGadget, ConditionalFlagGadget,
+        LogicImplicationGadget, ComparisonGadget,
+        create_and_gadget, create_or_gadget)
+
+    pb = GL2Protoboard.create(P)
+    x, y = GL2Variable("x"), GL2Variable("y")
+    a, o = GL2Variable("a"), GL2Variable("o")
+    g_and = create_and_gadget(pb, [x, y], a)
+    g_or = create_or_gadget(pb, [x, y], o)
+    assert isinstance(g_and, BinaryANDGadget)
+    assert isinstance(g_or, BinaryORGadget)
+    g_and.generateConstraints()
+    g_or.generateConstraints()
+    for vx, vy in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        pb.setval(x, vx)
+        pb.setval(y, vy)
+        g_and.generateWitness()
+        g_or.generateWitness()
+        assert pb.val(a) == (vx & vy) and pb.val(o) == (vx | vy)
+        assert pb.is_satisfied()
+
+    # integer packing (no booleanity)
+    pb2 = GL2Protoboard.create(P)
+    bits = GL2VariableArray(6, "b")
+    packed = GL2Variable("p")
+    gp = IntegerPackingGadget(pb2, bits, packed)
+    gp.generateConstraints()
+    for i in range(6):
+        pb2.setval(bits[i], (0x2D >> i) & 1)
+    gp.generateWitness()
+    assert pb2.val(packed) == 0x2D and pb2.is_satisfied()
+
+    # equals-const
+    pb3 = GL2Protoboard.create(P)
+    inp, res = GL2Variable("i"), GL2Variable("r")
+    ge = EqualsConstGadget(pb3, inp, 7, res)
+    ge.generateConstraints()
+    for v, want in [(7, 1), (9, 0)]:
+        pb3.setval(inp, v)
+        ge.generateWitness()
+        assert pb3.val(res) == want and pb3.is_satisfied()
+
+    # toggle
+    pb4 = GL2Protoboard.create(P)
+    t, z, one, out = (GL2Variable("t"), GL2Variable("z"),
+                      GL2Variable("o1"), GL2Variable("out"))
+    gt = ToggleGadget(pb4, t, z, one, out)
+    gt.generateConstraints()
+    pb4.setval(z, 11)
+    pb4.setval(one, 22)
+    for tv, want in [(0, 11), (1, 22)]:
+        pb4.setval(t, tv)
+        gt.generateWitness()
+        assert pb4.val(out) == want and pb4.is_satisfied()
+
+    # conditional flag + implication
+    pb5 = GL2Protoboard.create(P)
+    c, f = GL2Variable("c"), GL2Variable("f")
+    gc = ConditionalFlagGadget(pb5, c, f)
+    gc.generateConstraints()
+    for cv, want in [(0, 0), (5, 1)]:
+        pb5.setval(c, cv)
+        gc.generateWitness()
+        assert pb5.val(f) == want and pb5.is_satisfied()
+
+    pb6 = GL2Protoboard.create(P)
+    c6, f6 = GL2Variable("c"), GL2Variable("f")
+    gi = LogicImplicationGadget(pb6, c6, f6)
+    gi.generateConstraints()
+    pb6.setval(c6, 3)
+    gi.generateWitness()
+    assert pb6.val(f6) == 1 and pb6.is_satisfied()
+    pb6.setval(c6, 0)
+    pb6.setval(f6, 0)
+    gi.generateWitness()
+    assert pb6.is_satisfied()
+
+    # comparison
+    pb7 = GL2Protoboard.create(P)
+    lhs, rhs = GL2Variable("a"), GL2Variable("b")
+    less, leq = GL2Variable("lt"), GL2Variable("le")
+    gcmp = ComparisonGadget(pb7, 8, lhs, rhs, less, leq)
+    gcmp.generateConstraints()
+    for av, bv in [(3, 200), (200, 3), (42, 42)]:
+        pb7.setval(lhs, av)
+        pb7.setval(rhs, bv)
+        gcmp.generateWitness()
+        assert pb7.val(less) == int(av < bv)
+        assert pb7.val(leq) == int(av <= bv)
+        assert pb7.is_satisfied()
+
+
+def test_dual_word_gadgets():
+    from libsnark_tpu.gadgetlib2 import DualWordGadget, DualWordArrayGadget
+    pb = GL2Protoboard.create(P)
+    dw = DualWordGadget(pb, 8, "w")
+    dw.generateConstraints()
+    dw.generateWitness(0xA5)
+    assert [pb.val(b) for b in dw.bits] == [(0xA5 >> i) & 1
+                                            for i in range(8)]
+    assert pb.is_satisfied()
+
+    dwa = DualWordArrayGadget(pb, 3, 8, "wa")
+    dwa.generateConstraints()
+    dwa.generateWitness([1, 2, 3])
+    assert pb.val(dwa.words[2].packed) == 3
+    assert pb.is_satisfied()
