@@ -33,9 +33,10 @@ class G1Gadgets:
     parity). Points = (x_lc, y_lc); NON-exceptional cases only (the
     reference gadgets carry the same assumption)."""
 
-    def __init__(self, pb: Protoboard, prefix="g1"):
+    def __init__(self, pb: Protoboard, prefix="g1", a: int = 0):
         self.pb = pb
         self.prefix = prefix
+        self.a = a % pb.p          # curve a-coefficient (MNT curves != 0)
         self._ctr = 0
         self._wq = []
 
@@ -86,7 +87,8 @@ class G1Gadgets:
         lam, x3, y3 = self._var("lam"), self._var("x3"), self._var("y3")
         xx = self._var("xx")
         pb.add_r1cs_constraint(P[0], P[0], xx, "g1_dbl_xx")
-        pb.add_r1cs_constraint(_lc(lam), P[1] * 2, _lc(xx) * 3, "g1_dbl_lam")
+        pb.add_r1cs_constraint(_lc(lam), P[1] * 2, _lc(xx) * 3 + self.a,
+                               "g1_dbl_lam")
         pb.add_r1cs_constraint(lam, lam, _lc(x3) + P[0] * 2, "g1_dbl_x")
         pb.add_r1cs_constraint(lam, P[0] - x3, _lc(y3) + P[1], "g1_dbl_y")
 
@@ -94,7 +96,7 @@ class G1Gadgets:
             p = pb.p
             x1, y1 = pb.lc_val(P[0]), pb.lc_val(P[1])
             pb.setval(xx, x1 * x1 % p)
-            l = 3 * x1 * x1 * pow(2 * y1, -1, p) % p
+            l = (3 * x1 * x1 + self.a) * pow(2 * y1, -1, p) % p
             xv = (l * l - 2 * x1) % p
             pb.setval(lam, l)
             pb.setval(x3, xv)
@@ -406,6 +408,19 @@ class PairingGadgets:
     def neg12(self, a):
         f6 = self.fp6
         return (f6.neg(a[0]), f6.neg(a[1]))
+
+    def alloc_g2_point(self):
+        """Allocate a variable G2 point (Fp2 coordinate pairs); returns
+        (symbolic_point, raw_vars) — fill with set_g2_witness."""
+        x, xv = self.fp2.alloc_input()
+        y, yv = self.fp2.alloc_input()
+        return (x, y), (xv, yv)
+
+    def set_g2_witness(self, vars_, pt):
+        xv, yv = vars_
+        for vs, c in ((xv, pt.x), (yv, pt.y)):
+            self.pb.setval(vs[0], int(c.c0))
+            self.pb.setval(vs[1], int(c.c1))
 
     def assert_pairing_product_one(self, pairs):
         """Constrain prod e(Pi, Qi) == 1; pairs = [(g1_pt, g2_emb)] with

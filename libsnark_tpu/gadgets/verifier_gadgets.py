@@ -22,10 +22,13 @@ from .protoboard import Gadget, Protoboard, PBVariable, PBVariableArray
 from .basic import generate_boolean_r1cs_constraint
 from .fields_gadgets import _lc
 from .pairing_gadgets import G1Gadgets, PairingGadgets
+from .mnt_pairing_gadgets import make_pairing_gadgets
 
 
 class Groth16VerifierGadget:
-    """Hardcoded-vk Groth16 verifier over the inner curve."""
+    """Hardcoded-vk Groth16 verifier over the inner curve (any family
+    with in-circuit pairing gadgets: BLS12-377-in-BW6-761 or either MNT
+    cycle direction)."""
 
     def __init__(self, pb: Protoboard, inner_curve, vk,
                  input_bits: List[list], prefix="g16v"):
@@ -36,14 +39,13 @@ class Groth16VerifierGadget:
         self.pb = pb
         self.curve = inner_curve
         self.vk = vk
-        self.pg = PairingGadgets(pb, inner_curve, prefix + ".pair")
-        self.g1 = G1Gadgets(pb, prefix + ".g1")
+        self.pg = make_pairing_gadgets(pb, inner_curve, prefix + ".pair")
+        self.g1 = G1Gadgets(pb, prefix + ".g1",
+                            a=int(getattr(inner_curve, "a", 0)))
         self.input_bits = input_bits
         self.proof_A = self.g1.alloc()
         self.proof_C = self.g1.alloc()
-        Bx, self._Bx_vars = self.pg.fp2.alloc_input()
-        By, self._By_vars = self.pg.fp2.alloc_input()
-        self.proof_B = (Bx, By)
+        self.proof_B, self._B_vars = self.pg.alloc_g2_point()
         self._build()
 
     def set_proof_witness(self, proof):
@@ -53,10 +55,7 @@ class Groth16VerifierGadget:
                               (self.proof_C, proof.g_C)):
             pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
             pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
-        pb.setval(self._Bx_vars[0], int(proof.g_B.x.c0))
-        pb.setval(self._Bx_vars[1], int(proof.g_B.x.c1))
-        pb.setval(self._By_vars[0], int(proof.g_B.y.c0))
-        pb.setval(self._By_vars[1], int(proof.g_B.y.c1))
+        self.pg.set_g2_witness(self._B_vars, proof.g_B)
 
     def _build(self):
         pg, g1, pb = self.pg, self.g1, self.pb

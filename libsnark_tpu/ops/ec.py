@@ -8,8 +8,8 @@ resolved with lane-wise selects, which is both constant-time (reference
 flags a timing side channel in its own impl, README.md:144-152) and the
 natural SIMD formulation for the VPU.
 
-Formulas (a = 0 curves): dbl-2009-l doubling, add-2007-bl addition,
-madd-2007-bl mixed addition.
+Formulas: dbl-2009-l doubling (a = 0) / dbl-2007-bl (generic a, the MNT
+cycle curves), add-2007-bl addition, madd-2007-bl mixed addition.
 """
 from __future__ import annotations
 
@@ -23,15 +23,21 @@ import numpy as np
 class CurveKernel:
     """Batched Jacobian group ops over field kernel ``fk``."""
 
-    def __init__(self, fk, name="G"):
+    def __init__(self, fk, name="G", mul_by_a=None, a_tag=""):
+        """mul_by_a: optional x -> a*x map in the coordinate field (the
+        curve's a-coefficient; None means a = 0). a_tag: stable hash key
+        for the map (kernels are jit-cache keys)."""
         self.fk = fk
         self.name = name
+        self.mul_by_a = mul_by_a
+        self.a_tag = a_tag
 
     def __hash__(self):
-        return hash((self.name, self.fk))
+        return hash((self.name, self.fk, self.a_tag))
 
     def __eq__(self, o):
-        return isinstance(o, CurveKernel) and o.name == self.name and o.fk == self.fk
+        return (isinstance(o, CurveKernel) and o.name == self.name
+                and o.fk == self.fk and o.a_tag == self.a_tag)
 
     # -- constructors ---------------------------------------------------------
     def zero(self, batch_shape):
@@ -53,8 +59,24 @@ class CurveKernel:
     # ~100 tiny XLA ops (launch overhead dominates at MSM batch sizes).
 
     def dbl(self, P):
-        """Jacobian doubling, a=0 (dbl-2009-l). Uniform: handles Z=0."""
+        """Jacobian doubling. a=0: dbl-2009-l; generic a: dbl-2007-bl
+        with M = 3*XX + a*ZZ^2. Uniform: handles Z=0."""
         from .pallas_ec import ec_pallas_ok, dbl as _pdbl
+        if self.mul_by_a is not None:
+            fk = self.fk
+            X, Y, Z = P
+            XX = fk.sqr(X)
+            YY = fk.sqr(Y)
+            YYYY = fk.sqr(YY)
+            ZZ = fk.sqr(Z)
+            S = fk.double(fk.sub(fk.sub(fk.sqr(fk.add(X, YY)), XX), YYYY))
+            M = fk.add(fk.add(fk.add(XX, XX), XX),
+                       self.mul_by_a(fk.sqr(ZZ)))
+            X3 = fk.sub(fk.sqr(M), fk.double(S))
+            Y3 = fk.sub(fk.mul(M, fk.sub(S, X3)),
+                        fk.double(fk.double(fk.double(YYYY))))
+            Z3 = fk.sub(fk.sub(fk.sqr(fk.add(Y, Z)), YY), ZZ)
+            return (X3, Y3, Z3)
         if ec_pallas_ok(self.fk):
             return _pdbl(self.fk, P)
         fk = self.fk
@@ -75,14 +97,14 @@ class CurveKernel:
     def dbl_n(self, P, n: int):
         """n successive doublings; ONE fused kernel on TPU."""
         from .pallas_ec import ec_pallas_ok, dbl as _pdbl
-        if ec_pallas_ok(self.fk):
+        if self.mul_by_a is None and ec_pallas_ok(self.fk):
             return _pdbl(self.fk, P, reps=n)
         return jax.lax.fori_loop(0, n, lambda _, a: self.dbl(a), P)
 
     def add(self, P, Q):
         """Complete Jacobian addition via add-2007-bl + selects."""
         from .pallas_ec import ec_pallas_ok, add as _padd
-        if ec_pallas_ok(self.fk):
+        if self.mul_by_a is None and ec_pallas_ok(self.fk):
             return _padd(self.fk, P, Q)
         fk = self.fk
         X1, Y1, Z1 = P
@@ -127,7 +149,8 @@ class CurveKernel:
         (folded into the fused kernel on TPU -- the MSM rake's select).
         """
         from .pallas_ec import ec_pallas_ok, madd as _pmadd
-        if ec_pallas_ok(self.fk) and len(Q_aff) == 3:
+        if (self.mul_by_a is None and ec_pallas_ok(self.fk)
+                and len(Q_aff) == 3):
             return _pmadd(self.fk, P, Q_aff, valid)
         fk = self.fk
         X1, Y1, Z1 = P
@@ -230,19 +253,17 @@ class CurveKernel:
         """Device Jacobian points -> list of host ECPoints in ``group``."""
         x, y, inf = self.to_affine(P)
         inf = np.asarray(inf).reshape(-1)
-        if hasattr(self.fk, "fp"):  # Fp2
-            c0x, c1x = self.fk.decode(x)
-            c0y, c1y = self.fk.decode(y)
-            c0x, c1x = np.ravel(c0x), np.ravel(c1x)
-            c0y, c1y = np.ravel(c0y), np.ravel(c1y)
+        if hasattr(self.fk, "fp"):  # extension coordinates (Fp2 / Fp3)
+            xs = [np.ravel(c) for c in self.fk.decode(x)]
+            ys = [np.ravel(c) for c in self.fk.decode(y)]
             F = group.F
             pts = []
             for j in range(len(inf)):
                 if inf[j]:
                     pts.append(group.zero())
                 else:
-                    pts.append(group.point(F(int(c0x[j]), int(c1x[j])),
-                                           F(int(c0y[j]), int(c1y[j]))))
+                    pts.append(group.point(F(*(int(c[j]) for c in xs)),
+                                           F(*(int(c[j]) for c in ys))))
             return pts
         xs = np.ravel(self.fk.decode(x))
         ys = np.ravel(self.fk.decode(y))

@@ -82,6 +82,18 @@ class Fp2Kernel:
         return jnp.stack([self.fp.mul_small(a[0], k),
                           self.fp.mul_small(a[1], k)])
 
+    def mul_by_const(self, a, k0: int, k1: int):
+        """a * (k0 + k1 s) for python-int constants (curve a-coeff on
+        MNT4 G2 twists): (k0 a0 + nr k1 a1, k0 a1 + k1 a0)."""
+        fp = self.fp
+        t0 = fp.mul_small(a[0], k0) if k0 != 1 else a[0]
+        t1 = fp.mul_small(a[1], k0) if k0 != 1 else a[1]
+        if k1 == 0:
+            return jnp.stack([t0, t1])
+        c0 = fp.add(t0, self.mul_by_nonresidue(fp.mul_small(a[1], k1)))
+        c1 = fp.add(t1, fp.mul_small(a[0], k1))
+        return jnp.stack([c0, c1])
+
     def inv(self, a):
         # (a0 - a1 s) / (a0^2 - beta a1^2)
         fp = self.fp

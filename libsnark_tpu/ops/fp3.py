@@ -81,6 +81,24 @@ class Fp3Kernel:
     def mul_small(self, a, k: int):
         return jnp.stack([self.fp.mul_small(a[i], k) for i in range(3)])
 
+    def mul_by_const(self, a, k0: int, k1: int, k2: int):
+        """a * (k0 + k1 v + k2 v^2) for python-int constants (the MNT6
+        G2 twist a-coefficient a*v^2): schoolbook with v^3 = beta."""
+        fp = self.fp
+        nr = self.fp.p - self.beta_small if self.beta_is_neg \
+            else self.beta_small
+
+        def term(x, k):
+            return fp.mul_small(x, k % self.fp.p)
+
+        c0 = fp.add(fp.add(term(a[0], k0), term(a[2], nr * k1)),
+                    term(a[1], nr * k2))
+        c1 = fp.add(fp.add(term(a[1], k0), term(a[0], k1)),
+                    term(a[2], nr * k2))
+        c2 = fp.add(fp.add(term(a[2], k0), term(a[1], k1)),
+                    term(a[0], k2))
+        return jnp.stack([c0, c1, c2])
+
     def inv(self, a):
         # libff Fp3_model::inverse (CH81 method)
         fp = self.fp

@@ -30,14 +30,41 @@ class PairingSystem:
         self.curve = curve
         self.fr = FpKernel(curve.fr_params)
         self.fq = FpKernel(curve.fq_params)
-        self.g1 = CurveKernel(self.fq, f"{curve.name}.G1")
-        if getattr(curve, "g2_field_degree", 2) == 1:
+        # curve a-coefficients (0 for the pairing-friendly a=0 families;
+        # the MNT cycle curves have generic j-invariant)
+        a_int = int(getattr(curve, "a", 0))
+        g1_mul_a = ((lambda x, fk=self.fq, k=a_int: fk.mul_small(x, k))
+                    if a_int else None)
+        self.g1 = CurveKernel(self.fq, f"{curve.name}.G1",
+                              mul_by_a=g1_mul_a, a_tag=str(a_int))
+        deg = getattr(curve, "g2_field_degree", 2)
+        if deg == 1:
             # k=6 outer curves (BW6-761): G2 lives over Fq itself
             self.fq2 = None
-            self.g2 = CurveKernel(self.fq, f"{curve.name}.G2")
+            a2 = int(getattr(curve, "a2", 0))
+            mul_a2 = ((lambda x, fk=self.fq, k=a2: fk.mul_small(x, k))
+                      if a2 else None)
+            self.g2 = CurveKernel(self.fq, f"{curve.name}.G2",
+                                  mul_by_a=mul_a2, a_tag=str(a2))
+        elif deg == 3:
+            # MNT6: G2 on the quadratic twist over Fq3
+            from ..ops.fp3 import Fp3Kernel
+            self.fq2 = Fp3Kernel(self.fq, int(curve.Fq3.NON_RESIDUE))
+            ks = tuple(int(c) for c in (curve.a2.c0, curve.a2.c1,
+                                        curve.a2.c2))
+            mul_a2 = ((lambda x, fk=self.fq2, k=ks: fk.mul_by_const(x, *k))
+                      if any(ks) else None)
+            self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2",
+                                  mul_by_a=mul_a2, a_tag=str(ks))
         else:
             self.fq2 = Fp2Kernel(self.fq, int(curve.Fq2.NON_RESIDUE))
-            self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2")
+            a2t = getattr(curve, "a2", None)
+            ks = ((int(a2t.c0), int(a2t.c1)) if a2t is not None
+                  else (0, 0))
+            mul_a2 = ((lambda x, fk=self.fq2, k=ks: fk.mul_by_const(x, *k))
+                      if any(ks) else None)
+            self.g2 = CurveKernel(self.fq2, f"{curve.name}.G2",
+                                  mul_by_a=mul_a2, a_tag=str(ks))
         sbits = curve.r.bit_length()
         self.msm_g1 = MSMKernel(self.g1, sbits)
         self.msm_g2 = MSMKernel(self.g2, sbits)
