@@ -203,6 +203,30 @@ class MNTPairingGadgets:
             for var, val in zip(vs, coords):
                 self.pb.setval(var, int(val))
 
+    # -- GT (target-field) variable plumbing ----------------------------------
+    def alloc_gt(self):
+        """Allocate a variable target-field element; returns
+        (symbolic, raw_vars)."""
+        l0, v0 = self.fpk.alloc_input()
+        l1, v1 = self.fpk.alloc_input()
+        return (l0, l1), (v0, v1)
+
+    def set_gt_witness(self, vars_, val):
+        for vs, half in zip(vars_, (val.c0, val.c1)):
+            coords = ((half.c0, half.c1) if self.base_deg == 2
+                      else (half.c0, half.c1, half.c2))
+            for var, c in zip(vs, coords):
+                self.pb.setval(var, int(c))
+
+    def gt_coord_lcs(self, sym):
+        """Flat coordinate LCs of a symbolic target element (canonical
+        order, for hash binding)."""
+        return self._flat_sym(sym)
+
+    def gt_host_coords(self, val):
+        """Flat coordinate ints of a host target element (same order)."""
+        return self._flat_host(val)
+
     # -- target-field point ops (witnessed slopes) ----------------------------
     def _sub12(self, a, b):
         f = self.fpk

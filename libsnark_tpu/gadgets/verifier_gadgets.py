@@ -226,3 +226,178 @@ class Groth16VerifierGadgetVariableVK:
     def generate_witness(self):
         self.g1.generate_witness()
         self.pg.generate_witness()
+
+
+# ---------------------------------------------------------------------------
+# Processed-vk-variable verifier with a soft result bit (the MNT-cycle
+# PCD's inner verifier: reference r1cs_sp_ppzkpcd compliance-step
+# circuit, sp_pcd_circuits.tcc, where the translation vk is witness and
+# verification yields a BIT so base-case incoming messages can skip it).
+# ---------------------------------------------------------------------------
+
+def processed_vk_host_coords(vk, curve):
+    """Canonical flat ints of the PROCESSED vk: e(alpha,beta) GT coords,
+    gamma_g2, delta_g2, gamma_ABC points (the host-side mirror of
+    Groth16ProcessedVKVariable.coordinate_lcs, for statement hashing)."""
+    eng = curve.pairing_engine
+    e_ab = eng.pairing(vk.alpha_g1, vk.beta_g2)
+    deg = getattr(curve, "g2_field_degree", 2)
+
+    def ext_coords(c):
+        if deg == 2:
+            return [int(c.c0), int(c.c1)]
+        return [int(c.c0), int(c.c1), int(c.c2)]
+
+    out = []
+    for half in (e_ab.c0, e_ab.c1):
+        out += ext_coords(half)
+    for pt in (vk.gamma_g2, vk.delta_g2):
+        out += ext_coords(pt.x) + ext_coords(pt.y)
+    for pt in vk.gamma_ABC:
+        out += [int(pt.x), int(pt.y)]
+    return out
+
+
+class Groth16ProcessedVKVariable:
+    """Processed vk as circuit VARIABLES: e(alpha,beta) in GT plus
+    gamma/delta G2 and the IC points (the in-circuit analogue of
+    verifier_process_vk, r1cs_gg_ppzksnark.tcc:605-621, shaped for
+    vk-as-witness recursion)."""
+
+    def __init__(self, pb, pg, g1, num_inputs: int, prefix="pvk"):
+        self.pb, self.pg, self.g1 = pb, pg, g1
+        self.num_inputs = num_inputs
+        self.e_ab, self._eab_vars = pg.alloc_gt()
+        self.gamma_g2, self._g_vars = pg.alloc_g2_point()
+        self.delta_g2, self._d_vars = pg.alloc_g2_point()
+        self.gamma_ABC = [g1.alloc() for _ in range(num_inputs + 1)]
+
+    def set_witness(self, vk, curve):
+        eng = curve.pairing_engine
+        self.pg.set_gt_witness(self._eab_vars,
+                               eng.pairing(vk.alpha_g1, vk.beta_g2))
+        self.pg.set_g2_witness(self._g_vars, vk.gamma_g2)
+        self.pg.set_g2_witness(self._d_vars, vk.delta_g2)
+        for lc_pair, pt in zip(self.gamma_ABC, vk.gamma_ABC):
+            self.pb._values[lc_pair[0].terms[0].index] = \
+                int(pt.x) % self.pb.p
+            self.pb._values[lc_pair[1].terms[0].index] = \
+                int(pt.y) % self.pb.p
+
+    def coordinate_lcs(self):
+        """Flat coordinate LCs, canonical order matching
+        processed_vk_host_coords."""
+        out = list(self.pg.gt_coord_lcs(self.e_ab))
+        for (x, y) in (self.gamma_g2, self.delta_g2):
+            out += list(x) + list(y)
+        for (x, y) in self.gamma_ABC:
+            out += [x, y]
+        return out
+
+
+class Groth16VerifierGadgetSoft:
+    """Verifier over a Groth16ProcessedVKVariable producing a RESULT BIT
+    instead of asserting: result = [FE(ML(B,A) * ML(gamma,-acc) *
+    ML(delta,-C)) == e_ab]. The PCD compliance circuit combines this
+    with the base-case flag ((1-is_base)*(1-result) = 0)."""
+
+    def __init__(self, pb: Protoboard, inner_curve, pvk, input_bits,
+                 result, prefix="g16s", enforce_bits=True):
+        self.pb = pb
+        self.curve = inner_curve
+        self.pvk = pvk
+        self.pg, self.g1 = pvk.pg, pvk.g1
+        self.result = result
+        self.input_bits = input_bits
+        assert len(input_bits) == pvk.num_inputs
+        self.proof_A = self.g1.alloc()
+        self.proof_C = self.g1.alloc()
+        self.proof_B, self._B_vars = self.pg.alloc_g2_point()
+        self._build(enforce_bits)
+
+    def set_proof_witness(self, proof):
+        pb = self.pb
+        for (lc_pair, pt) in ((self.proof_A, proof.g_A),
+                              (self.proof_C, proof.g_C)):
+            pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
+            pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
+        self.pg.set_g2_witness(self._B_vars, proof.g_B)
+
+    def _build(self, enforce_bits):
+        pg, g1, pb = self.pg, self.g1, self.pb
+        f12 = pg.fp12
+        pvk = self.pvk
+
+        if enforce_bits:
+            for bits in self.input_bits:
+                for b in bits:
+                    generate_boolean_r1cs_constraint(pb, b, "g16s_bit")
+
+        # acc over VARIABLE IC bases (doubling ladder per input)
+        acc = pvk.gamma_ABC[0]
+        for i, bits in enumerate(self.input_bits):
+            T = pvk.gamma_ABC[i + 1]
+            for j, bit in enumerate(bits):
+                acc = g1.conditional_add(acc, bit, T)
+                if j + 1 < len(bits):
+                    T = g1.dbl(T)
+        self.acc = acc
+
+        f = pg.miller_loop(pg.embed_g2(self.proof_B),
+                           pg.embed_g1(self.proof_A))
+        f = f12.mul(f, pg.miller_loop(
+            pg.embed_g2(pvk.gamma_g2), pg.embed_g1(g1.neg(acc))))
+        f = f12.mul(f, pg.miller_loop(
+            pg.embed_g2(pvk.delta_g2), pg.embed_g1(g1.neg(self.proof_C))))
+        out = pg.final_exp(f)
+        self._soft_eq_gt(out, pvk.e_ab, self.result)
+
+    def _soft_eq_gt(self, a, b, result):
+        """result = [a == b] coordinate-wise: per-coordinate forced
+        nonzero flags, then a forced is-zero bit on their sum."""
+        pb, pg = self.pb, self.pg
+        fpk = pg.fpk if hasattr(pg, "fpk") else pg.fp2
+        a_lcs = pg.gt_coord_lcs(a)
+        b_lcs = pg.gt_coord_lcs(b)
+        from ..relations.variable import LinearCombination as LC
+        nz_flags = []
+        for k, (ai, bi) in enumerate(zip(a_lcs, b_lcs)):
+            diff = ai - bi
+            aux = fpk._var(f"seq_aux{k}")
+            nz = fpk._var(f"seq_nz{k}")
+            # diff*aux = nz ; diff*(1-nz) = 0  => nz forced to [diff!=0]
+            pb.add_r1cs_constraint(diff, LC(aux), LC(nz), "seq_nz_a")
+            pb.add_r1cs_constraint(diff, 1 - LC(nz), 0, "seq_nz_b")
+
+            def wit(diff=diff, aux=aux, nz=nz):
+                d = pb.lc_val(diff)
+                if d == 0:
+                    pb.setval(aux, 0)
+                    pb.setval(nz, 0)
+                else:
+                    pb.setval(aux, pow(d, -1, pb.p))
+                    pb.setval(nz, 1)
+            fpk._wq.append(wit)
+            nz_flags.append(nz)
+        total = LC()
+        for nz in nz_flags:
+            total = total + LC(nz)
+        aux2 = fpk._var("seq_aux_tot")
+        # total*result = 0 ; total*aux2 = 1-result  => result = [total==0]
+        pb.add_r1cs_constraint(total, LC._coerce(result), 0, "seq_res_a")
+        pb.add_r1cs_constraint(total, LC(aux2),
+                               1 - LC._coerce(result), "seq_res_b")
+
+        def wit_total(total=total, aux2=aux2, result=result):
+            t = pb.lc_val(total)
+            if t == 0:
+                pb.setval(aux2, 0)
+                pb.setval(result, 1)
+            else:
+                pb.setval(aux2, pow(t, -1, pb.p))
+                pb.setval(result, 0)
+        fpk._wq.append(wit_total)
+
+    def generate_witness(self):
+        self.g1.generate_witness()
+        self.pg.generate_witness()
