@@ -169,13 +169,11 @@ class PairingSystem:
         x, y, inf = aff
         if np.asarray(inf).reshape(-1)[lane]:
             return group.zero()
-        if hasattr(ck.fk, "fp"):
-            c0x, c1x = ck.fk.decode(x)
-            c0y, c1y = ck.fk.decode(y)
+        if hasattr(ck.fk, "fp"):   # extension coords (Fp2 / Fp3)
+            xs = [int(np.ravel(c)[lane]) for c in ck.fk.decode(x)]
+            ys = [int(np.ravel(c)[lane]) for c in ck.fk.decode(y)]
             F = group.F
-            return group.point(
-                F(int(np.ravel(c0x)[lane]), int(np.ravel(c1x)[lane])),
-                F(int(np.ravel(c0y)[lane]), int(np.ravel(c1y)[lane])))
+            return group.point(F(*xs), F(*ys))
         return group.point(int(np.ravel(ck.fk.decode(x))[lane]),
                            int(np.ravel(ck.fk.decode(y))[lane]))
 
