@@ -58,42 +58,6 @@ def _smallest_qnr(p: int) -> int:
     return g
 
 
-def _generic_sqrt(F, a):
-    """Tonelli-Shanks in an arbitrary finite field class F (host tower
-    fields; used to lift G2 x-coordinates where no closed-form sqrt is
-    implemented). Raises ValueError on non-squares."""
-    import random as _random
-    if a.is_zero():
-        return F.zero()
-    q = F.char
-    deg = F.degree
-    order = q ** deg - 1
-    if a ** (order // 2) != F.one():
-        raise ValueError("not a square")
-    s, m = 0, order
-    while m % 2 == 0:
-        m //= 2
-        s += 1
-    rng = _random.Random(0xD1CE)
-    z = F.random_element(rng)
-    while z.is_zero() or z ** (order // 2) == F.one():
-        z = F.random_element(rng)
-    c = z ** m
-    t = a ** m
-    r_ = a ** ((m + 1) // 2)
-    mm = s
-    while t != F.one():
-        i, tt = 0, t
-        while tt != F.one():
-            tt = tt * tt
-            i += 1
-        b = c ** (1 << (mm - i - 1))
-        mm, c = i, b * b
-        t = t * c
-        r_ = r_ * b
-    return r_
-
-
 class _MNTBase:
     """Shared bundle plumbing for the two cycle curves."""
 
@@ -115,8 +79,7 @@ class _MNTBase:
         while True:
             rhs = x * x * x + self.G2.a * x + self.G2.b
             try:
-                y = (rhs.sqrt() if hasattr(rhs, "sqrt")
-                     else _generic_sqrt(Fext, rhs))
+                y = rhs.sqrt()
             except ValueError:
                 x = x + one
                 continue

@@ -497,6 +497,43 @@ def make_cubic_ext(base, non_residue, name="Fp3"):
             return cls(base.random_element(rng), base.random_element(rng),
                        base.random_element(rng))
 
+        def is_square(self):
+            order = self.char ** self.degree - 1
+            return self.is_zero() or generic_pow(self, order // 2) == Ext.one()
+
+        def sqrt(self):
+            """Generic Tonelli-Shanks in the cubic extension (used by
+            compressed G2 deserialization on MNT6; no structure
+            assumed). Raises ValueError on non-squares."""
+            if self.is_zero():
+                return Ext.zero()
+            order = self.char ** self.degree - 1
+            if generic_pow(self, order // 2) != Ext.one():
+                raise ValueError("not a square")
+            m_odd, s = order, 0
+            while m_odd % 2 == 0:
+                m_odd //= 2
+                s += 1
+            import random as _random
+            rng = _random.Random(0x5077)
+            z = Ext.random_element(rng)
+            while z.is_zero() or generic_pow(z, order // 2) == Ext.one():
+                z = Ext.random_element(rng)
+            c = generic_pow(z, m_odd)
+            t = generic_pow(self, m_odd)
+            r_ = generic_pow(self, (m_odd + 1) // 2)
+            mm = s
+            while t != Ext.one():
+                i, tt = 0, t
+                while tt != Ext.one():
+                    tt = tt * tt
+                    i += 1
+                b = generic_pow(c, 1 << (mm - i - 1))
+                mm, c = i, b * b
+                t = t * c
+                r_ = r_ * b
+            return r_
+
     return Ext
 
 

@@ -84,3 +84,17 @@ def test_bctv14_codec_round_trip(bn254):
                           codec.dumps(codec.write_bctv14_proof, proof))
         assert pf2.g_A.g == proof.g_A.g and pf2.g_B.h == proof.g_B.h
         assert pf2.g_H == proof.g_H and pf2.g_K == proof.g_K
+
+
+@pytest.mark.parametrize("name", ["mnt4", "mnt6"])
+@pytest.mark.parametrize("compress", [False, True])
+def test_point_roundtrip_mnt(name, compress):
+    """Codec over the cycle curves, incl. compressed G2 over Fq3
+    (cubic-extension Tonelli-Shanks sqrt)."""
+    from libsnark_tpu import get_curve
+    cu = get_curve(name)
+    c = Codec(cu, mode="binary", compress=compress)
+    for P in [cu.G1.zero(), cu.G1.one() * 12345]:
+        assert reserialize(c, c.write_g1, c.read_g1, P) == P
+    for Q in [cu.G2.zero(), cu.G2.one() * 777]:
+        assert reserialize(c, c.write_g2, c.read_g2, Q) == Q
