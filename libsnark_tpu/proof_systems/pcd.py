@@ -2,11 +2,11 @@
 
 The reference's PCD systems (r1cs_sp_ppzkpcd / r1cs_mp_ppzkpcd) recurse
 over the MNT4/MNT6 2-CYCLE: each curve's verifier is embedded in the
-other's circuit, giving unbounded depth. Those cycle parameters live in
-libff (an empty submodule in the mounted checkout), and MNT-style cycles
-cannot be re-derived (their CM discriminants are astronomically large),
-so this module provides the modern ONE-LAYER composition the Clearmatics
-fork targets with its BW6-761/BLS12-377 gadgets instead:
+other's circuit, giving unbounded depth. That cycle IS instantiated in
+this framework — see proof_systems/pcd_cycle.py (curves re-derived in
+curves/mnt.py) for the unbounded-depth system. This module provides the
+complementary modern ONE-LAYER composition the Clearmatics fork targets
+with its BW6-761/BLS12-377 gadgets:
 
   * step proofs: Groth16 over BLS12-377, one per compliance-predicate
     application (depth-1 messages),
