@@ -126,10 +126,9 @@ class Groth16VerificationKeyVariable:
         self.gamma_ABC = [g1.alloc() for _ in range(num_inputs + 1)]
 
     def _alloc_g2(self):
-        x, xv = self.pg.fp2.alloc_input()
-        y, yv = self.pg.fp2.alloc_input()
-        self._g2_vars.append((xv, yv))
-        return (x, y)
+        pt, vars_ = self.pg.alloc_g2_point()
+        self._g2_vars.append(vars_)
+        return pt
 
     def set_witness(self, vk):
         pb = self.pb
@@ -137,19 +136,16 @@ class Groth16VerificationKeyVariable:
                 zip(self.gamma_ABC, vk.gamma_ABC)):
             pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
             pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
-        for (xv, yv), pt in zip(self._g2_vars,
-                                (vk.beta_g2, vk.gamma_g2, vk.delta_g2)):
-            pb.setval(xv[0], int(pt.x.c0))
-            pb.setval(xv[1], int(pt.x.c1))
-            pb.setval(yv[0], int(pt.y.c0))
-            pb.setval(yv[1], int(pt.y.c1))
+        for vars_, pt in zip(self._g2_vars,
+                             (vk.beta_g2, vk.gamma_g2, vk.delta_g2)):
+            self.pg.set_g2_witness(vars_, pt)
 
     def coordinate_lcs(self):
         """All vk field coordinates as LCs, canonical order (G1 points
-        as x,y; G2 points as x.c0,x.c1,y.c0,y.c1)."""
+        as x,y; G2 points as x coords then y coords, degree-generic)."""
         out = [self.alpha_g1[0], self.alpha_g1[1]]
         for (x, y) in (self.beta_g2, self.gamma_g2, self.delta_g2):
-            out += [x[0], x[1], y[0], y[1]]
+            out += list(x) + list(y)
         for (x, y) in self.gamma_ABC:
             out += [x, y]
         return out
@@ -176,9 +172,7 @@ class Groth16VerifierGadgetVariableVK:
         assert len(input_bits) == vk_var.num_inputs
         self.proof_A = self.g1.alloc()
         self.proof_C = self.g1.alloc()
-        Bx, self._Bx_vars = self.pg.fp2.alloc_input()
-        By, self._By_vars = self.pg.fp2.alloc_input()
-        self.proof_B = (Bx, By)
+        self.proof_B, self._B_vars = self.pg.alloc_g2_point()
         self._build()
 
     def set_proof_witness(self, proof):
@@ -187,10 +181,7 @@ class Groth16VerifierGadgetVariableVK:
                               (self.proof_C, proof.g_C)):
             pb._values[lc_pair[0].terms[0].index] = int(pt.x) % pb.p
             pb._values[lc_pair[1].terms[0].index] = int(pt.y) % pb.p
-        pb.setval(self._Bx_vars[0], int(proof.g_B.x.c0))
-        pb.setval(self._Bx_vars[1], int(proof.g_B.x.c1))
-        pb.setval(self._By_vars[0], int(proof.g_B.y.c0))
-        pb.setval(self._By_vars[1], int(proof.g_B.y.c1))
+        self.pg.set_g2_witness(self._B_vars, proof.g_B)
 
     def _build(self):
         pg, g1, pb = self.pg, self.g1, self.pb

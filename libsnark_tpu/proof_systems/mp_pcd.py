@@ -32,6 +32,7 @@ from typing import Dict, List
 from ..gadgets.protoboard import Protoboard, PBVariable, PBVariableArray
 from ..gadgets.basic import PackingGadget
 from ..gadgets.pairing_gadgets import PairingGadgets, G1Gadgets
+from ..gadgets.mnt_pairing_gadgets import make_pairing_gadgets
 from ..gadgets.verifier_gadgets import (
     Groth16VerificationKeyVariable, Groth16VerifierGadgetVariableVK)
 from ..gadgets.merkle_tree_gadgets import (
@@ -44,20 +45,26 @@ from ..common.set_commitment import SetCommitmentAccumulator
 from ..relations.variable import LinearCombination
 
 
-def vk_coordinate_ints(vk) -> List[int]:
+def vk_coordinate_ints(vk, g2_degree: int = 2) -> List[int]:
     """Canonical coordinate list (must match
-    Groth16VerificationKeyVariable.coordinate_lcs order)."""
+    Groth16VerificationKeyVariable.coordinate_lcs order);
+    degree-generic G2 coordinates (Fp2 or the MNT6 Fp3)."""
+    def ext(c):
+        if g2_degree == 2:
+            return [int(c.c0), int(c.c1)]
+        return [int(c.c0), int(c.c1), int(c.c2)]
+
     out = [int(vk.alpha_g1.x), int(vk.alpha_g1.y)]
     for pt in (vk.beta_g2, vk.gamma_g2, vk.delta_g2):
-        out += [int(pt.x.c0), int(pt.x.c1), int(pt.y.c0), int(pt.y.c1)]
+        out += ext(pt.x) + ext(pt.y)
     for pt in vk.gamma_ABC:
         out += [int(pt.x), int(pt.y)]
     return out
 
 
-def vk_bits(vk, nbits: int) -> List[int]:
+def vk_bits(vk, nbits: int, g2_degree: int = 2) -> List[int]:
     bits = []
-    for v in vk_coordinate_ints(vk):
+    for v in vk_coordinate_ints(vk, g2_degree):
         bits += [(v >> i) & 1 for i in range(nbits)]
     return bits
 
@@ -99,6 +106,7 @@ class MpPCD:
         self.g16_outer = Groth16(outer_curve)
         self.digest_bits = outer_curve.r.bit_length()
         self.coord_bits = outer_curve.r.bit_length()
+        self._g2_deg = getattr(inner_curve, "g2_field_degree", 2)
 
     # -- generator ----------------------------------------------------------
     def generator(self, handlers: Dict[str, object], num_proofs: int,
@@ -122,7 +130,8 @@ class MpPCD:
 
         acc = self._accumulator(max_vks)
         for name in sorted(inner_keypairs):
-            acc.add(vk_bits(inner_keypairs[name].vk, self.coord_bits))
+            acc.add(vk_bits(inner_keypairs[name].vk, self.coord_bits,
+                            self._g2_deg))
         root = acc.get_commitment()
 
         pb, _ = self._build_outer(num_proofs, n_inputs, nbits, max_vks)
@@ -163,8 +172,9 @@ class MpPCD:
         depth = max(1, (max_vks - 1).bit_length())
         slots = []
         for i in range(num_proofs):
-            pg = PairingGadgets(pb, self.inner, f"pair{i}")
-            g1 = G1Gadgets(pb, f"g1_{i}")
+            pg = make_pairing_gadgets(pb, self.inner, f"pair{i}")
+            g1 = G1Gadgets(pb, f"g1_{i}",
+                           a=int(getattr(self.inner, "a", 0)))
             vk_var = Groth16VerificationKeyVariable(
                 pb, pg, g1, n_inputs, f"vk{i}")
             verifier = Groth16VerifierGadgetVariableVK(
@@ -231,7 +241,7 @@ class MpPCD:
                 pg_c.generate_r1cs_witness_from_packed()
             slot["hash"].generate_r1cs_witness()
             memb = pk.accumulator.get_membership_proof(
-                vk_bits(vk, self.coord_bits))
+                vk_bits(vk, self.coord_bits, self._g2_deg))
             slot["addr"].fill_with_bits_of_int(pb, memb.address)
             slot["path"].generate_r1cs_witness(memb.address,
                                                memb.merkle_path)

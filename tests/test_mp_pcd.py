@@ -75,3 +75,56 @@ def test_mp_aggregation_circuit(bls377):
     fill_slot(0, vk3, proof3, memb1)
     h["root"].generate_r1cs_witness(root)
     assert pb.first_unsatisfied() is not None
+
+
+@pytest.mark.slow
+def test_mp_aggregation_circuit_cycle():
+    """The same mp pattern instantiated on the MNT cycle (inner = mnt4
+    proofs verified in an mnt6-field aggregation circuit): witness vk +
+    set-membership, satisfied/corrupted. On a cycle this aggregation is
+    itself recursable (see pcd_cycle.py)."""
+    from libsnark_tpu import get_curve
+    mnt4, mnt6 = get_curve("mnt4"), get_curve("mnt6")
+    mp = MpPCD(mnt4, mnt6)
+
+    cs1, prim1, aux1 = _example(mnt4, 0)
+    vk1, proof1 = _trapdoor_groth16(mnt4, cs1, prim1, aux1, seed=31)
+    vk2, _ = _trapdoor_groth16(mnt4, cs1, prim1, aux1, seed=32)
+
+    max_vks = 4
+    acc = mp._accumulator(max_vks)
+    acc.add(vk_bits(vk1, mp.coord_bits))
+    acc.add(vk_bits(vk2, mp.coord_bits))
+    root = acc.get_commitment()
+
+    nbits = 8
+    pb, h = mp._build_outer(1, 1, nbits, max_vks)
+    h["root"].generate_r1cs_witness(root)
+    h["stmt_bits"][0][0].fill_with_bits_of_int(pb, prim1[0])
+    slot = h["slots"][0]
+    slot["vk_var"].set_witness(vk1)
+    slot["verifier"].set_proof_witness(proof1)
+    slot["verifier"].generate_witness()
+    for pg_c, lc, helper in slot["packs"]:
+        pb.setval(helper, pb.lc_val(lc))
+        pg_c.generate_r1cs_witness_from_packed()
+    slot["hash"].generate_r1cs_witness()
+    memb = acc.get_membership_proof(vk_bits(vk1, mp.coord_bits))
+    slot["addr"].fill_with_bits_of_int(pb, memb.address)
+    slot["path"].generate_r1cs_witness(memb.address, memb.merkle_path)
+    slot["memb"].generate_r1cs_witness()
+    h["root"].generate_r1cs_witness(root)
+    bad = pb.first_unsatisfied()
+    assert bad is None, bad
+
+    # corrupt: claim a vk NOT in the set (vk under a different trapdoor)
+    vk3, proof3 = _trapdoor_groth16(mnt4, cs1, prim1, aux1, seed=33)
+    slot["vk_var"].set_witness(vk3)
+    slot["verifier"].set_proof_witness(proof3)
+    slot["verifier"].generate_witness()
+    for pg_c, lc, helper in slot["packs"]:
+        pb.setval(helper, pb.lc_val(lc))
+        pg_c.generate_r1cs_witness_from_packed()
+    slot["hash"].generate_r1cs_witness()
+    h["root"].generate_r1cs_witness(root)
+    assert pb.first_unsatisfied() is not None
