@@ -205,31 +205,18 @@ class _MsgVars:
             self.regs_init_packs[j].generate_r1cs_witness_from_packed()
 
 
-class RamCompliancePredicate:
-    """One-CPU-step compliance circuit over the inner scalar field
-    (ram_compliance_predicate.tcc): primary input is the single
-    statement hash h = CRH(msg_in || msg_out)."""
+class _RamStepCore:
+    """The one-CPU-step machinery between two message variable blocks:
+    TinyRAM CPU checker + delegated-memory fetch check-read and data
+    check-update + clocking/init-propagation/base-case/acceptance
+    constraints. Shared by RamCompliancePredicate (statement-hash form)
+    and RamCycleCompliancePredicate (MNT-cycle PCD handler form)."""
 
-    def __init__(self, p: int, arch: RamZkSnarkArchParams):
-        self.p = p
-        self.arch = arch
+    def __init__(self, pb, arch, ds, msg_in: "_MsgVars",
+                 msg_out: "_MsgVars", zero):
         ap, d = arch.ap, arch.tree_depth
-        self.ds = ds = p.bit_length()          # knapsack digest bits
-        pb = self.pb = Protoboard(p)
-
-        # primary input FIRST: separate hashes of msg_in and msg_out so
-        # the outer aggregation circuit chains steps by SHARING the
-        # h_out_i / h_in_{i+1} input-bit blocks (sound linkage without
-        # non-native hashing; cf. r1cs_sp_ppzkpcd's statement binding)
-        self.h_in = PBVariable().allocate(pb, "h_in")
-        self.h_out = PBVariable().allocate(pb, "h_out")
-        pb.set_input_sizes(2)
-
-        self.zero = PBVariable().allocate(pb, "zero")
-        self.msg_in = _MsgVars(pb, arch, ds, "in")
-        self.msg_out = _MsgVars(pb, arch, ds, "out")
-
-        # ---- CPU step -----------------------------------------------------
+        self.pb, self.arch, self.ds = pb, arch, ds
+        self.msg_in, self.msg_out, self.zero = msg_in, msg_out, zero
         self.instruction = PBVariable().allocate(pb, "instr")
         self.mem_addr = PBVariable().allocate(pb, "mem_addr")
         # prev_val doubles as the checker's mem_in (the PREV dword cell,
@@ -239,20 +226,20 @@ class RamCompliancePredicate:
         self.mem_out = PBVariable().allocate(pb, "mem_out")
         self.mem_is_store = PBVariable().allocate(pb, "mem_is_store")
         self.cpu = TinyRAMCPUChecker(
-            pb, ap, self.msg_in.regs, self.msg_in.flag, self.msg_in.pc,
-            self.msg_out.regs, self.msg_out.flag, self.msg_out.pc,
+            pb, ap, msg_in.regs, msg_in.flag, msg_in.pc,
+            msg_out.regs, msg_out.flag, msg_out.pc,
             self.instruction, self.mem_addr, self.mem_in, self.mem_out,
             self.mem_is_store, "cpu", dummy_addr=arch.dummy_addr)
 
         # ---- instruction fetch: check-read mem[pc] under root_in ----------
-        fetch_leaf = _PaddedBits(self.cpu.instr_bits, self.zero, ds)
+        fetch_leaf = _PaddedBits(self.cpu.instr_bits, zero, ds)
         self.fetch_path = MerkleAuthenticationPathVariable(
             pb, d, "fpath", digest_size=ds)
         from ..relations.variable import LinearCombination
         one = LinearCombination(1)
         self.fetch = MerkleTreeCheckReadGadget(
-            pb, d, list(self.msg_in.pc_bits), fetch_leaf,
-            self.msg_in.root, self.fetch_path, one, "fetch",
+            pb, d, list(msg_in.pc_bits), fetch_leaf,
+            msg_in.root, self.fetch_path, one, "fetch",
             hash_gadget_cls=KnapsackTwoToOneHashGadget)
 
         # ---- data op: check-update root_in -> root_out --------------------
@@ -265,16 +252,16 @@ class RamCompliancePredicate:
         self.next_bits = PBVariableArray().allocate(pb, 2 * ap.w, "nvb")
         self.next_pack = PackingGadget(pb, self.next_bits, self.mem_out,
                                        "nvp")
-        prev_leaf = _PaddedBits(self.prev_bits, self.zero, ds)
-        next_leaf = _PaddedBits(self.next_bits, self.zero, ds)
+        prev_leaf = _PaddedBits(self.prev_bits, zero, ds)
+        next_leaf = _PaddedBits(self.next_bits, zero, ds)
         self.prev_path = MerkleAuthenticationPathVariable(
             pb, d, "ppath", digest_size=ds)
         self.next_path = MerkleAuthenticationPathVariable(
             pb, d, "npath", digest_size=ds)
         self.update = MerkleTreeCheckUpdateGadget(
             pb, d, list(self.maddr_bits),
-            prev_leaf, self.msg_in.root, self.prev_path,
-            next_leaf, self.msg_out.root, self.next_path,
+            prev_leaf, msg_in.root, self.prev_path,
+            next_leaf, msg_out.root, self.next_path,
             one, "update", hash_gadget_cls=KnapsackTwoToOneHashGadget)
 
         # ---- acceptance ---------------------------------------------------
@@ -283,25 +270,13 @@ class RamCompliancePredicate:
                                       "azg")
         # base case indicator: ts_in == 0
         self.is_base = PBVariable().allocate(pb, "is_base")
-        self.base_gadget = IsZeroGadget(pb, self.msg_in.ts, self.is_base,
+        self.base_gadget = IsZeroGadget(pb, msg_in.ts, self.is_base,
                                         "ibg")
 
-        self._generate_constraints()
-
-    def _generate_constraints(self):
+    def generate_r1cs_constraints(self):
         pb, arch = self.pb, self.arch
         ap = arch.ap
         mi, mo = self.msg_in, self.msg_out
-        pb.add_r1cs_constraint(1, self.zero, 0, "zero")
-        mi.generate_r1cs_constraints(pb, "in")
-        mo.generate_r1cs_constraints(pb, "out")
-        # statement hashes (one linear row each)
-        self.hash_in_gadget = KnapsackCRHFieldOutGadget(
-            pb, mi.all_bits(), [self.h_in], 1, "stmt_in")
-        self.hash_in_gadget.generate_r1cs_constraints()
-        self.hash_out_gadget = KnapsackCRHFieldOutGadget(
-            pb, mo.all_bits(), [self.h_out], 1, "stmt_out")
-        self.hash_out_gadget.generate_r1cs_constraints()
         # clocking
         pb.add_r1cs_constraint(1, _lc(mi.ts) + 1, mo.ts, "ts_incr")
         # initial values propagate unchanged
@@ -309,12 +284,14 @@ class RamCompliancePredicate:
             pb.add_r1cs_constraint(
                 1, _lc(mi.root_init.bits[i]) - mo.root_init.bits[i], 0,
                 f"copy_rooti_{i}")
-        pb.add_r1cs_constraint(1, _lc(mi.pc_init) - mo.pc_init, 0, "copy_pci")
+        pb.add_r1cs_constraint(1, _lc(mi.pc_init) - mo.pc_init, 0,
+                               "copy_pci")
         pb.add_r1cs_constraint(1, _lc(mi.flag_init) - mo.flag_init, 0,
                                "copy_fi")
         for j in range(ap.k):
             pb.add_r1cs_constraint(
-                1, _lc(mi.regs_init[j]) - mo.regs_init[j], 0, f"copy_ri{j}")
+                1, _lc(mi.regs_init[j]) - mo.regs_init[j], 0,
+                f"copy_ri{j}")
         # base case: incoming state must equal the carried initial values
         self.base_gadget.generate_r1cs_constraints()
         for i in range(self.ds):
@@ -346,17 +323,17 @@ class RamCompliancePredicate:
         self.az_gadget.generate_r1cs_constraints()
         pb.add_r1cs_constraint(
             self.cpu.op_onehot.alpha[int(Opcode.ANSWER)], self.answer_zero,
-            mo.acc, "accepted")
+            self.msg_out.acc, "accepted")
 
-    # ------------------------------------------------------------- witness
-    def witness_step(self, msg_in: RamPCDMessage, step: TraceStep,
-                     mem: DelegatedRAMemory) -> RamPCDMessage:
-        """Fill the circuit for one step; `mem` is the delegated memory
-        BEFORE the step and is mutated by its store. Returns msg_out."""
+    def witness_step(self, msg_in: "RamPCDMessage", step: "TraceStep",
+                     mem: "DelegatedRAMemory", set_out) -> "RamPCDMessage":
+        """Fill the step machinery. Caller must have set the msg_in
+        variable block already; `set_out(msg_out)` is invoked to fill
+        the outgoing block before the dependent gadget witnesses run.
+        `mem` is mutated by the step's store."""
         pb, arch = self.pb, self.arch
-        ap, d = arch.ap, arch.tree_depth
+        ap = arch.ap
         pb.setval(self.zero, 0)
-        self.msg_in.set_witness(pb, msg_in)
 
         # fetch (before the data op)
         fetch_path = mem.get_path(step.pc)
@@ -395,13 +372,79 @@ class RamCompliancePredicate:
             regs_initial=list(msg_in.regs_initial),
             flag_initial=msg_in.flag_initial,
             has_accepted=accepted)
-        self.msg_out.set_witness(pb, msg_out)
+        set_out(msg_out)
 
         # gadget witnesses that depend on both sides
         self.az_gadget.generate_r1cs_witness()
         self.base_gadget.generate_r1cs_witness()
         self.fetch.generate_r1cs_witness()
         self.update.generate_r1cs_witness()
+        return msg_out
+
+
+class RamCompliancePredicate:
+    """One-CPU-step compliance circuit over the inner scalar field
+    (ram_compliance_predicate.tcc): primary input is the single
+    statement hash h = CRH(msg_in || msg_out)."""
+
+    def __init__(self, p: int, arch: RamZkSnarkArchParams):
+        self.p = p
+        self.arch = arch
+        ap, d = arch.ap, arch.tree_depth
+        self.ds = ds = p.bit_length()          # knapsack digest bits
+        pb = self.pb = Protoboard(p)
+
+        # primary input FIRST: separate hashes of msg_in and msg_out so
+        # the outer aggregation circuit chains steps by SHARING the
+        # h_out_i / h_in_{i+1} input-bit blocks (sound linkage without
+        # non-native hashing; cf. r1cs_sp_ppzkpcd's statement binding)
+        self.h_in = PBVariable().allocate(pb, "h_in")
+        self.h_out = PBVariable().allocate(pb, "h_out")
+        pb.set_input_sizes(2)
+
+        self.zero = PBVariable().allocate(pb, "zero")
+        self.msg_in = _MsgVars(pb, arch, ds, "in")
+        self.msg_out = _MsgVars(pb, arch, ds, "out")
+        self.core = _RamStepCore(pb, arch, ds, self.msg_in, self.msg_out,
+                                 self.zero)
+        # aliases (pre-refactor attribute surface)
+        self.cpu = self.core.cpu
+        self.is_base = self.core.is_base
+        self.instruction = self.core.instruction
+        self.fetch_path = self.core.fetch_path
+        self.fetch = self.core.fetch
+        self.update = self.core.update
+        self.prev_path = self.core.prev_path
+        self.next_path = self.core.next_path
+        self.answer_zero = self.core.answer_zero
+
+        self._generate_constraints()
+
+    def _generate_constraints(self):
+        pb = self.pb
+        mi, mo = self.msg_in, self.msg_out
+        pb.add_r1cs_constraint(1, self.zero, 0, "zero")
+        mi.generate_r1cs_constraints(pb, "in")
+        mo.generate_r1cs_constraints(pb, "out")
+        # statement hashes (one linear row each)
+        self.hash_in_gadget = KnapsackCRHFieldOutGadget(
+            pb, mi.all_bits(), [self.h_in], 1, "stmt_in")
+        self.hash_in_gadget.generate_r1cs_constraints()
+        self.hash_out_gadget = KnapsackCRHFieldOutGadget(
+            pb, mo.all_bits(), [self.h_out], 1, "stmt_out")
+        self.hash_out_gadget.generate_r1cs_constraints()
+        self.core.generate_r1cs_constraints()
+
+    # ------------------------------------------------------------- witness
+    def witness_step(self, msg_in: RamPCDMessage, step: TraceStep,
+                     mem: DelegatedRAMemory) -> RamPCDMessage:
+        """Fill the circuit for one step; `mem` is the delegated memory
+        BEFORE the step and is mutated by its store. Returns msg_out."""
+        pb = self.pb
+        self.msg_in.set_witness(pb, msg_in)
+        msg_out = self.core.witness_step(
+            msg_in, step, mem,
+            set_out=lambda mo_msg: self.msg_out.set_witness(pb, mo_msg))
         self.hash_in_gadget.generate_r1cs_witness()
         self.hash_out_gadget.generate_r1cs_witness()
         return msg_out
