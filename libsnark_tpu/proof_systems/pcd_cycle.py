@@ -134,6 +134,7 @@ class CyclePCDProvingKey:
     handler_cs: object      # predicate constraint system (splice shape)
     max_arity: int
     msg_size: int           # 1 + payload size
+    base_case: str = "zero"  # unproven-slot convention (see builder)
 
 
 @dataclasses.dataclass
@@ -172,8 +173,18 @@ class CycleSpPCD:
 
     # -- compliance circuit (C_A over Fr(A)) -------------------------------
     def build_compliance_circuit(self, handler_cs, max_arity: int,
-                                 msg_size: int):
-        """Deterministic construction (same R1CS at keygen and prove)."""
+                                 msg_size: int, base_case: str = "zero"):
+        """Deterministic construction (same R1CS at keygen and prove).
+
+        base_case governs what an UNPROVEN (is_base) incoming slot must
+        carry: "zero" forces the whole message block to 0 (the tally
+        predicate's convention); "type0" forces only the message TYPE
+        element to 0, leaving base-message validity to the predicate
+        itself (the RAM predicate's convention -- its base message is
+        the boot state, not zero; cf. ram_compliance_predicate's
+        gen_initial_message vs the type-field dispatch in
+        compliance_predicate.hpp)."""
+        assert base_case in ("zero", "type0")
         A, B = self.A, self.B
         nbits = self.nbits
         pb = Protoboard(A.r)
@@ -227,9 +238,18 @@ class CycleSpPCD:
             # non-base incoming messages must verify
             pb.add_r1cs_constraint(1 - LC(is_base), 1 - LC(result), 0,
                                    f"must_verify{i}")
-            # base (padding) slots carry the canonical zero message
-            for k, v in enumerate(in_blocks[i]):
-                pb.add_r1cs_constraint(is_base, LC(v), 0, f"base_zero{i}_{k}")
+            if base_case == "zero":
+                # base (padding) slots carry the canonical zero message
+                for k, v in enumerate(in_blocks[i]):
+                    pb.add_r1cs_constraint(is_base, LC(v), 0,
+                                           f"base_zero{i}_{k}")
+            else:
+                # base slots carry a TYPE-0 message; the predicate must
+                # validate base-message contents itself (no proofs of
+                # type-0 messages exist: every predicate pins a nonzero
+                # outgoing type)
+                pb.add_r1cs_constraint(is_base, LC(in_blocks[i][0]), 0,
+                                       f"base_type0_{i}")
             per_in.append(dict(is_base=is_base, in_bits=in_bits,
                                h_in=h_in, hbits=hbits, hpack=hpack,
                                lt_wit=lt_wit, result=result, soft=soft,
@@ -329,7 +349,9 @@ class CycleSpPCD:
         assert all(len(b) == msg_size for b in handler.incoming), \
             "incoming/outgoing message shapes must match (chained hash)"
         max_arity = handler.max_arity
-        C = self.build_compliance_circuit(handler_cs, max_arity, msg_size)
+        base_case = getattr(handler, "base_case", "zero")
+        C = self.build_compliance_circuit(handler_cs, max_arity, msg_size,
+                                          base_case)
         self.g16_a.host_keygen = host_keygen
         self.g16_b.host_keygen = host_keygen
         kp_a = self.g16_a.generator(
@@ -341,7 +363,8 @@ class CycleSpPCD:
             seed=None if seed is None else seed + 2)
         pk = CyclePCDProvingKey(kp_a=kp_a, kp_b=kp_b,
                                 handler_cs=handler_cs,
-                                max_arity=max_arity, msg_size=msg_size)
+                                max_arity=max_arity, msg_size=msg_size,
+                                base_case=base_case)
         vk = CyclePCDVerificationKey(vk_b=kp_b.vk, msg_size=msg_size)
         return pk, vk
 
@@ -354,7 +377,7 @@ class CycleSpPCD:
         msgs = [p.msg for p in incoming]
         proofs = [p.translation_proof for p in incoming]
         C = self.build_compliance_circuit(pk.handler_cs, pk.max_arity,
-                                          pk.msg_size)
+                                          pk.msg_size, pk.base_case)
         self.witness_compliance(C, handler, pk.kp_b.vk, msgs, proofs,
                                 local)
         bad = C["pb"].first_unsatisfied()

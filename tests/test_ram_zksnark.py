@@ -141,3 +141,135 @@ def test_statement_hash_matches_circuit(bls377):
     pred, msgs, _ = rs.run_and_chain(arch, prog, [], [], 1, check=True)
     assert pred.pb.primary_input() == statement_hash(
         bls377.r, arch, msgs[0], msgs[1])
+
+
+# --------------------------------------------------------------------------
+# unbounded recursion backend (MNT-cycle PCD) -- ram_zksnark.tcc:142
+# --------------------------------------------------------------------------
+
+def _mnt4():
+    from libsnark_tpu.curves import get_curve
+    return get_curve("mnt4")
+
+
+def test_ram_cycle_predicate_chain():
+    """The cp_handler-form RAM predicate: a full program chain is
+    satisfiable step by step, payload encode/decode round-trips, and a
+    type-0 (base) claim with nonzero timestamp is rejected."""
+    from libsnark_tpu.proof_systems.ram_zksnark import (
+        RamZkSnarkCycle, RamCycleCompliancePredicate, ram_cycle_payload,
+        payload_to_ram_msg)
+    from libsnark_tpu.proof_systems.compliance_predicate import PCDLocalData
+
+    p = _mnt4().r
+    arch = _arch()
+    prog = TinyRAMProgram()
+    prog.add(Opcode.MOV, True, 0, 0, 55)
+    prog.add(Opcode.STOREW, True, 0, 0, 100)
+    prog.add(Opcode.LOADW, True, 1, 0, 100)
+    prog.add(Opcode.SUB, False, 2, 0, 1)
+    prog.add(Opcode.ANSWER, False, 0, 0, 2)
+
+    rsc = RamZkSnarkCycle.__new__(RamZkSnarkCycle)
+    rsc.pcd, rsc.p = None, p
+    T = 6
+    mem, trace = RamZkSnarkCycle._trace(rsc, arch, prog, [], [], T)
+    from libsnark_tpu.proof_systems.ram_zksnark import RamPCDMessage
+    msg = RamPCDMessage.initial(arch, mem.get_root())
+    cur = None
+    for i, step in enumerate(trace):
+        h = RamCycleCompliancePredicate(p, arch)
+        h.generate_r1cs_constraints()
+        h.set_step_context(msg, step, mem)
+        out = h.generate_r1cs_witness([] if cur is None else [cur],
+                                      PCDLocalData(values=[]))
+        assert h.pb.first_unsatisfied() is None, f"step {i}"
+        assert payload_to_ram_msg(p.bit_length(), arch,
+                                  out.payload) == h.last_msg_out
+        msg, cur = h.last_msg_out, out
+    assert msg.has_accepted == 1 and msg.timestamp == T
+
+    # adversarial: claim base (type 0) for a mid-chain state
+    h3 = RamCycleCompliancePredicate(p, arch)
+    h3.generate_r1cs_constraints()
+    mem3, trace3 = RamZkSnarkCycle._trace(rsc, arch, prog, [], [], T)
+    h3.set_step_context(RamPCDMessage.initial(arch, mem3.get_root()),
+                        trace3[0], mem3)
+    h3.generate_r1cs_witness([], PCDLocalData(values=[]))
+    h3.pb.setval(h3.msg_in.ts, 5)
+    assert h3.pb.first_unsatisfied() is not None
+
+
+@pytest.mark.slow
+def test_ram_cycle_compliance_splice_with_trapdoor_translation():
+    """RAM predicate spliced into the cycle compliance circuit
+    (base_case='type0'): base + successor steps satisfiable with a
+    trapdoor translation proof; hash chain matches the host
+    message_hash; a wrong-statement proof is rejected."""
+    from libsnark_tpu.proof_systems.pcd_cycle import CycleSpPCD
+    from libsnark_tpu.proof_systems.ram_zksnark import (
+        RamZkSnarkCycle, RamPCDMessage, payload_to_ram_msg)
+    from libsnark_tpu.proof_systems.compliance_predicate import (
+        PCDLocalData, PCDMessage)
+    from libsnark_tpu.relations.r1cs import R1CSConstraintSystem
+    from libsnark_tpu.relations.variable import Variable
+    from test_verifier_gadget import _trapdoor_groth16
+
+    pcd = CycleSpPCD()
+    A, B = pcd.A, pcd.B
+
+    def _dummy_vk(curve, statement, seed=7):
+        cs = R1CSConstraintSystem(curve.r, 1, 1)
+        w = Variable(2)
+        cs.add_constraint(w * 1, w * 1, w * 1, "w_bool")
+        return _trapdoor_groth16(curve, cs, [statement % curve.r], [0],
+                                 seed=seed)
+
+    vk_b, _ = _dummy_vk(B, 123)
+    arch = RamZkSnarkArchParams(ap=TinyRAMParams(w=16, k=2), tree_depth=4)
+    prog = TinyRAMProgram()
+    prog.add(Opcode.MOV, True, 0, 0, 7)
+    prog.add(Opcode.STOREW, True, 0, 0, 5)
+    prog.add(Opcode.ANSWER, True, 0, 0, 0)
+
+    rsc = RamZkSnarkCycle(pcd)
+    handler0 = rsc.predicate(arch)
+    handler_cs = handler0.get_constraint_system()
+    msg_size = len(handler0.outgoing)
+
+    T = 2
+    mem, trace = rsc._trace(arch, prog, [], [], T)
+    msg = RamPCDMessage.initial(arch, mem.get_root())
+    cur_msg, h_prev = None, None
+    for i, step in enumerate(trace):
+        h = rsc.predicate(arch)
+        h.set_step_context(msg, step, mem)
+        proofs = []
+        if cur_msg is not None:
+            _, pi = _dummy_vk(B, h_prev)
+            proofs = [pi]
+        Ci = pcd.build_compliance_circuit(handler_cs, 1, msg_size,
+                                          base_case="type0")
+        pcd.witness_compliance(Ci, h, vk_b,
+                               [] if cur_msg is None else [cur_msg],
+                               proofs, PCDLocalData(values=[]))
+        assert Ci["pb"].first_unsatisfied() is None, f"step {i}"
+        out_msg = PCDMessage(
+            type=Ci["pb"].val(Ci["out_block"][0]),
+            payload=[Ci["pb"].val(v) for v in Ci["out_block"][1:]])
+        h_prev = Ci["pb"].primary_input()[0]
+        assert h_prev == pcd.message_hash(vk_b, out_msg)
+        msg, cur_msg = h.last_msg_out, out_msg
+
+    final = payload_to_ram_msg(A.r.bit_length(), arch, cur_msg.payload)
+    assert final.timestamp == T and final.has_accepted == 1
+
+    # wrong-statement translation proof must break the compliance step
+    _, pi_bad = _dummy_vk(B, h_prev + 1)
+    h2 = rsc.predicate(arch)
+    h2.set_step_context(msg, trace[-1], mem)
+    Cb = pcd.build_compliance_circuit(handler_cs, 1, msg_size,
+                                      base_case="type0")
+    pcd.witness_compliance(Cb, h2, vk_b, [cur_msg], [pi_bad],
+                           PCDLocalData(values=[]))
+    assert Cb["pb"].first_unsatisfied() is not None
