@@ -23,6 +23,9 @@ _register("bw6_761", "bw6_761")
 # the PCD cycle (reference default_types/r1cs_ppzkpcd_pp.hpp:27-38)
 _register("mnt4", "mnt", "build_mnt4")
 _register("mnt6", "mnt", "build_mnt6")
+# the reference's 80-bit Edwards curve (k=6, cofactor 4); Edwards-form
+# complete addition exposed via .edwards
+_register("edwards", "edwards")
 
 
 @functools.lru_cache(maxsize=None)

@@ -12,7 +12,7 @@ from libsnark_tpu.curves import get_curve
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["mnt4", "mnt6"])
+@pytest.mark.parametrize("name", ["mnt4", "mnt6", "edwards"])
 def test_device_scalar_mul_matches_host(name):
     from libsnark_tpu.proof_systems.base import PairingSystem
     c = get_curve(name)
@@ -26,7 +26,7 @@ def test_device_scalar_mul_matches_host(name):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["mnt4", "mnt6"])
+@pytest.mark.parametrize("name", ["mnt4", "mnt6", "edwards"])
 def test_groth16_roundtrip_mnt(name):
     """Device keygen + prove + host verify over a cycle curve
     (including the G2-over-Fq3 MSM on mnt6)."""
