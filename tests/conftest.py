@@ -15,26 +15,55 @@ import os
 #       -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE \
 #       -u AXON_POOL_SVC_OVERRIDE -u PJRT_LIBRARY_PATH python -m pytest ...
 # (see .claude/skills/verify/SKILL.md).
+
+_AXON_VARS = ("AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
+              "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
+              "JAX_PLATFORMS", "PYTHONPATH")
+
+
+def _axon_relay_reachable() -> bool:
+    """With PALLAS_AXON_REMOTE_COMPILE=1, EVERY XLA compile (even
+    JAX_PLATFORMS=cpu) goes through the terminal-side relay; if the
+    relay is down, any uncached compile hangs forever. Probe before
+    committing the whole test session to that fate."""
+    import socket
+    for port in (8082, 8083):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(1.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+_NEED_REEXEC = (
+    any(k.startswith(("AXON", "PALLAS_AXON")) for k in os.environ)
+    and os.environ.get("_LIBSNARK_TPU_NO_REEXEC") != "1"
+    and not _axon_relay_reachable())
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
-
-import sys as _sys
-
 # cache namespace depends on which cpu backend we actually got: the
 # axon-wrapped one (.jax_cache) or the vanilla local one
-# (.jax_cache_local, when launched with the axon env stripped)
+# (.jax_cache_local, when launched with the axon env stripped).
+# Configured via env (NOT jax.config) so no jax import happens before a
+# potential re-exec below.
 _cache = ("/root/repo/.jax_cache"
           if any(k.startswith("AXON") or k.startswith("PALLAS_AXON")
                  for k in os.environ)
           else "/root/repo/.jax_cache_local")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import random
 
@@ -43,6 +72,24 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running; set RUN_SLOW=1 to run")
+    if _NEED_REEXEC:
+        # tunnel down: every uncached XLA compile would hang on the
+        # dead relay. Re-exec this exact invocation with the axon env
+        # stripped -> vanilla local jax-cpu backend (local LLVM
+        # compiles, .jax_cache_local). Done here (not at import) so the
+        # capture manager can hand back the real stdout/stderr first.
+        import sys
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.stop_global_capturing()
+        env = {k: v for k, v in os.environ.items() if k not in _AXON_VARS}
+        env["_LIBSNARK_TPU_NO_REEXEC"] = "1"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_local"
+        sys.stderr.write("[conftest] axon relay unreachable -- re-exec "
+                         "on the vanilla local cpu backend\n")
+        sys.stderr.flush()
+        os.execve(sys.executable,
+                  [sys.executable] + sys.orig_argv[1:], env)
 
 
 def pytest_collection_modifyitems(config, items):
