@@ -300,6 +300,19 @@ class Codec:
                            g_C=KnowledgeCommitment(Cg, Ch),
                            g_H=H, g_K=K)
 
+    # ----------------------------------------------------------- PCD types
+    def write_pcd_message(self, out, msg):
+        """r1cs_pcd_message (type + Fr payload; compliance_predicate.hpp).
+        The codec's curve must be the COMPLIANCE-side curve (payload
+        lives in its scalar field)."""
+        self._write_int(out, msg.type, 8)
+        self.write_fr_vector(out, list(msg.payload))
+
+    def read_pcd_message(self, inp):
+        from .proof_systems.compliance_predicate import PCDMessage
+        t = self._read_int(inp, 8)
+        return PCDMessage(type=t, payload=self.read_fr_vector(inp))
+
     # -------------------------------------------------------- convenience
     def dumps(self, write_fn, obj) -> bytes:
         buf = io.BytesIO()
@@ -314,3 +327,53 @@ def reserialize(codec: Codec, write_fn, read_fn, obj):
     """Round-trip helper (libff::reserialize parity, used by the run_*
     harnesses to exercise serialization inside integration tests)."""
     return codec.loads(read_fn, codec.dumps(write_fn, obj))
+
+
+# --------------------------------------------------------------------------
+# two-curve composites (cycle PCD / ram_zksnark proofs span both cycle
+# curves: the message lives over curve A's scalar field, the translation
+# proof over curve B -- r1cs_sp_ppzkpcd_proof operator<< parity)
+# --------------------------------------------------------------------------
+
+def write_cycle_pcd_proof(codec_a: Codec, codec_b: Codec, out, proof):
+    codec_a.write_pcd_message(out, proof.msg)
+    codec_b.write_groth16_proof(out, proof.translation_proof)
+
+
+def read_cycle_pcd_proof(codec_a: Codec, codec_b: Codec, inp):
+    from .proof_systems.pcd_cycle import CyclePCDProof
+    msg = codec_a.read_pcd_message(inp)
+    pi = codec_b.read_groth16_proof(inp)
+    return CyclePCDProof(msg=msg, translation_proof=pi)
+
+
+def write_ram_pcd_message(codec: Codec, out, msg):
+    """ram_pcd_message (ram_compliance_predicate.hpp:55-95): scalar
+    fields as ints, the two digests as packed bit-integers."""
+    for v in (msg.timestamp, msg.pc_addr, msg.flag, msg.has_accepted,
+              msg.pc_addr_initial, msg.flag_initial):
+        codec._write_int(out, v, 8)
+    codec.write_fr_vector(out, list(msg.regs))
+    codec.write_fr_vector(out, list(msg.regs_initial))
+    for bits in (msg.root, msg.root_initial):
+        codec._write_int(out, len(bits), 8)
+        codec._write_int(out, sum(b << i for i, b in enumerate(bits)),
+                         (len(bits) + 7) // 8)
+
+
+def read_ram_pcd_message(codec: Codec, inp):
+    from .proof_systems.ram_zksnark import RamPCDMessage
+    ts, pc, flag, acc, pci, flagi = (codec._read_int(inp, 8)
+                                     for _ in range(6))
+    regs = codec.read_fr_vector(inp)
+    regsi = codec.read_fr_vector(inp)
+    digests = []
+    for _ in range(2):
+        n = codec._read_int(inp, 8)
+        v = codec._read_int(inp, (n + 7) // 8)
+        digests.append([(v >> i) & 1 for i in range(n)])
+    return RamPCDMessage(timestamp=ts, pc_addr=pc, flag=flag,
+                         has_accepted=acc, pc_addr_initial=pci,
+                         flag_initial=flagi, regs=regs,
+                         regs_initial=regsi, root=digests[0],
+                         root_initial=digests[1])

@@ -98,3 +98,40 @@ def test_point_roundtrip_mnt(name, compress):
         assert reserialize(c, c.write_g1, c.read_g1, P) == P
     for Q in [cu.G2.zero(), cu.G2.one() * 777]:
         assert reserialize(c, c.write_g2, c.read_g2, Q) == Q
+
+
+@pytest.mark.parametrize("mode", ["text", "binary"])
+def test_cycle_pcd_proof_roundtrip(mode):
+    """r1cs_sp_ppzkpcd_proof / ram_pcd_message serialization across the
+    two cycle curves."""
+    import io
+    from libsnark_tpu.curves import get_curve
+    from libsnark_tpu.serialization import (
+        Codec, write_cycle_pcd_proof, read_cycle_pcd_proof,
+        write_ram_pcd_message, read_ram_pcd_message)
+    from libsnark_tpu.proof_systems.pcd_cycle import CyclePCDProof
+    from libsnark_tpu.proof_systems.compliance_predicate import PCDMessage
+    from libsnark_tpu.proof_systems.groth16 import Groth16Proof
+    from libsnark_tpu.proof_systems.ram_zksnark import RamPCDMessage
+
+    A, B = get_curve("mnt4"), get_curve("mnt6")
+    ca, cb = Codec(A, mode=mode), Codec(B, mode=mode)
+    msg = PCDMessage(type=1, payload=[5, 7, A.r - 1])
+    pi = Groth16Proof(g_A=B.G1.one() * 3, g_B=B.G2.one() * 5,
+                      g_C=B.G1.one() * 9)
+    proof = CyclePCDProof(msg=msg, translation_proof=pi)
+    buf = io.BytesIO()
+    write_cycle_pcd_proof(ca, cb, buf, proof)
+    back = read_cycle_pcd_proof(ca, cb, io.BytesIO(buf.getvalue()))
+    assert back.msg == msg
+    assert back.translation_proof.g_A == pi.g_A
+    assert back.translation_proof.g_B == pi.g_B
+    assert back.translation_proof.g_C == pi.g_C
+
+    rmsg = RamPCDMessage(timestamp=9, root_initial=[1, 0, 1, 1],
+                         root=[0, 1, 1, 0], pc_addr=3, regs=[4, 5],
+                         flag=1, pc_addr_initial=0, regs_initial=[0, 0],
+                         flag_initial=0, has_accepted=1)
+    buf2 = io.BytesIO()
+    write_ram_pcd_message(ca, buf2, rmsg)
+    assert read_ram_pcd_message(ca, io.BytesIO(buf2.getvalue())) == rmsg
