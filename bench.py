@@ -25,6 +25,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.pop("PYTHONPATH", None)
 os.environ.pop("JAX_PLATFORMS", None)
 
+
+def _relay_up() -> bool:
+    import socket
+    for port in (8082, 8083):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(1.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+# With the axon env present, backend init (and every remote compile)
+# blocks forever when the terminal-side relay is down -- probe BEFORE
+# importing jax and wait a bounded time for the tunnel to come back
+# rather than hanging the whole bench run.
+if (any(k.startswith(("AXON", "PALLAS_AXON")) for k in os.environ)
+        and os.environ.get("BENCH_ALLOW_CPU") != "1"):
+    for _attempt in range(int(os.environ.get("BENCH_RELAY_WAIT", "20"))):
+        if _relay_up():
+            break
+        print(f"# axon relay unreachable (attempt {_attempt}); waiting",
+              file=sys.stderr)
+        time.sleep(30)
+    else:
+        print("# axon relay never came up -- refusing to hang; "
+              "no benchmark result", file=sys.stderr)
+        sys.exit(3)
+
 import jax
 
 _retry = int(os.environ.get("TPU_BENCH_RETRY", "0"))
