@@ -45,7 +45,8 @@ def _relay_up() -> bool:
 # blocks forever when the terminal-side relay is down -- probe BEFORE
 # importing jax and wait a bounded time for the tunnel to come back
 # rather than hanging the whole bench run.
-if (any(k.startswith(("AXON", "PALLAS_AXON")) for k in os.environ)
+if (("PALLAS_AXON_POOL_IPS" in os.environ
+     or "PALLAS_AXON_REMOTE_COMPILE" in os.environ)
         and os.environ.get("BENCH_ALLOW_CPU") != "1"):
     for _attempt in range(int(os.environ.get("BENCH_RELAY_WAIT", "20"))):
         if _relay_up():

@@ -16,10 +16,14 @@ import os
 #       -u AXON_POOL_SVC_OVERRIDE -u PJRT_LIBRARY_PATH python -m pytest ...
 # (see .claude/skills/verify/SKILL.md).
 
-_AXON_VARS = ("AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
-              "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
-              "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
-              "JAX_PLATFORMS", "PYTHONPATH")
+def _strip_axon(env: dict) -> dict:
+    """Remove every axon-tunnel var BY PREFIX (registration exports
+    extra markers like AXON_COMPAT_VERSION at runtime; a fixed name
+    list leaks them into children)."""
+    return {k: v for k, v in env.items()
+            if not k.startswith(("AXON", "PALLAS_AXON", "_AXON"))
+            and k not in ("PJRT_LIBRARY_PATH", "PYTHONPATH",
+                          "JAX_PLATFORMS")}
 
 
 def _axon_relay_reachable() -> bool:
@@ -42,7 +46,9 @@ def _axon_relay_reachable() -> bool:
 
 
 _NEED_REEXEC = (
-    any(k.startswith(("AXON", "PALLAS_AXON")) for k in os.environ)
+    ("PALLAS_AXON_POOL_IPS" in os.environ
+     or "PALLAS_AXON_REMOTE_COMPILE" in os.environ
+     or os.environ.get("JAX_PLATFORMS") == "axon")
     and os.environ.get("_LIBSNARK_TPU_NO_REEXEC") != "1"
     and not _axon_relay_reachable())
 
@@ -82,7 +88,7 @@ def pytest_configure(config):
         capman = config.pluginmanager.getplugin("capturemanager")
         if capman is not None:
             capman.stop_global_capturing()
-        env = {k: v for k, v in os.environ.items() if k not in _AXON_VARS}
+        env = _strip_axon(dict(os.environ))
         env["_LIBSNARK_TPU_NO_REEXEC"] = "1"
         env["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_local"
         sys.stderr.write("[conftest] axon relay unreachable -- re-exec "
