@@ -206,15 +206,31 @@ class CurveKernel:
         return (fk.mul(X, zi2), fk.mul(Y, zi3), inf)
 
     def scalar_mul_const(self, P, k: int):
-        """P * k for python-int constant k (test/reference use)."""
+        """P * k for python-int constant k (test/reference use).
+
+        lax.scan over the bit string (MSB first) instead of a Python
+        unroll: the traced graph is ONE dbl+add body regardless of
+        k.bit_length() (the unrolled form cost minutes of tracing per
+        call at 64+ bits)."""
         if k == 0:
             return self.zero(self._batch_shape(P[0]))
-        bits = [(k >> i) & 1 for i in range(k.bit_length() - 1, -1, -1)]
-        acc = P
-        for b in bits[1:]:
+        if k.bit_length() == 1:
+            return P
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        bits = jnp.asarray(
+            [bool((k >> i) & 1)
+             for i in range(k.bit_length() - 2, -1, -1)])
+
+        def body(acc, b):
             acc = self.dbl(acc)
-            if b:
-                acc = self.add(acc, P)
+            added = self.add(acc, P)
+            acc = jax.tree_util.tree_map(
+                lambda a, c: jnp.where(b, c, a), acc, added)
+            return acc, None
+
+        acc, _ = lax.scan(body, P, bits)
         return acc
 
     # -- host conversions -----------------------------------------------------------
