@@ -118,9 +118,39 @@ class PairingSystem:
     # compile would dwarf the work; enable via `system.host_keygen = True`.
     host_keygen = False
 
-    def _fixed_base_host(self, ck, base_host, scalars):
-        pts = [base_host * int(s) for s in scalars]
+    def _fixed_base_host(self, ck, base_host, scalars, c=8):
+        """Windowed fixed-base: ONE shared table (all exps share the
+        base), then ~ceil(bits/c) table-adds per scalar — ~12x fewer
+        host EC ops than per-scalar double-and-add, which matters once
+        host_keygen meets 10^5-variable circuits (cycle PCD keygen)."""
+        r = self.curve.r
+        nbits = r.bit_length()
+        W = -(-nbits // c)
         zero = base_host.group.zero()
+        # table[w][d] = (d << (c*w)) * base
+        table = []
+        B = base_host
+        for w in range(W):
+            row = [zero]
+            acc = zero
+            for _ in range((1 << c) - 1):
+                acc = acc + B
+                row.append(acc)
+            table.append(row)
+            B = acc + B          # (2^c - 1)*B_w + B_w = B_{w+1}
+        mask = (1 << c) - 1
+        pts = []
+        for s in scalars:
+            s = int(s) % r
+            acc = zero
+            w = 0
+            while s:
+                d = s & mask
+                if d:
+                    acc = acc + table[w][d]
+                s >>= c
+                w += 1
+            pts.append(acc)
         pts += [zero] * (self.bucket(len(pts)) - len(pts))
         return ck.encode_points(pts, jacobian=False)
 

@@ -18,7 +18,44 @@ os.environ.pop("PYTHONPATH", None)
 os.environ.pop("JAX_PLATFORMS", None)
 
 
+def _axon_relay_up() -> bool:
+    import socket
+    for port in (8082, 8083):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(1.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def init_backend():
+    # With the axon env present, jax backend init blocks forever when
+    # the terminal-side relay is down -- re-exec onto the vanilla local
+    # cpu backend instead of hanging (same pattern as tests/conftest.py).
+    if (("PALLAS_AXON_POOL_IPS" in os.environ
+         or "PALLAS_AXON_REMOTE_COMPILE" in os.environ)
+            and os.environ.get("_LIBSNARK_TPU_NO_REEXEC") != "1"
+            and not _axon_relay_up()):
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("AXON", "PALLAS_AXON", "_AXON"))
+               and k not in ("PJRT_LIBRARY_PATH", "PYTHONPATH",
+                             "JAX_PLATFORMS")}
+        env["_LIBSNARK_TPU_NO_REEXEC"] = "1"
+        env["BENCH_ALLOW_CPU"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                           ".jax_cache_local"))
+        print("# axon relay unreachable -- re-exec on the local cpu "
+              "backend", file=sys.stderr, flush=True)
+        os.execve(sys.executable, [sys.executable] + sys.orig_argv[1:],
+                  env)
     import jax
     _retry = int(os.environ.get("TPU_BENCH_RETRY", "0"))
     if (jax.default_backend() == "cpu" and _retry < 10
@@ -31,6 +68,7 @@ def init_backend():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     jax.config.update(
         "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR") or
         os.path.join(repo, ".jax_cache_tpu"
                      if jax.default_backend() == "tpu" else ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

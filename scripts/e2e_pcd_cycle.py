@@ -54,7 +54,12 @@ handler = TallyCompliancePredicate(A.r, max_arity=1)
 handler.generate_r1cs_constraints()
 
 log("generator: building + keygen over both curves ...")
-pk, vk = pcd.generator(handler, seed=42)
+# PCD_E2E_HOST_KEYGEN=1: pure-Python fixed-base keygen (skips the
+# fixed-base device programs -- the right trade on the single local
+# CPU core; proving stays on the device path either way)
+pk, vk = pcd.generator(handler, seed=42,
+                       host_keygen=os.environ.get(
+                           "PCD_E2E_HOST_KEYGEN") == "1")
 t_gen = time.time() - t0
 log(f"generator done ({t_gen:.1f}s)")
 
