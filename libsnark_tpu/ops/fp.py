@@ -241,6 +241,45 @@ class FpKernel:
         res = self._carry_propagate(acc, out_len=self.N + 1)
         return self._cond_sub_p(res)
 
+    def mul_wide(self, a, b):
+        """Montgomery product for a WIDE first operand: a has Wa >= N
+        16-bit limbs (value < 2^(16*Wa)), b is (N, *bcast) with value < p.
+        Returns canonical a*b*2^(-16*Wa) mod p -- the caller tracks the
+        extra 2^(-16*(Wa-N)) factor (vs mul's R^-1) and corrects once.
+
+        Same interleaved CIOS scan as mul, just over Wa steps; the lazy
+        column bounds are step-count independent (each column exits the
+        N+2 window after <= N+2 shifts). b may broadcast against a's
+        batch dims from the right (e.g. a (Wa, B, 16, n2) with a twiddle
+        table b (N, 16, n2))."""
+        N = self.N
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        bfull = jnp.broadcast_to(
+            b.reshape((N,) + (1,) * (len(batch) - (b.ndim - 1))
+                      + b.shape[1:]), (N,) + batch)
+        p_vec = self._const(self.p_np, len(batch))
+        n0inv = self.n0inv
+        acc0 = jnp.zeros((N + 2,) + batch, dtype=U32)
+        zrow = acc0[:1]
+
+        def step(acc, a_i):
+            prod = a_i[None] * bfull
+            acc = acc.at[0:N].add(prod & LIMB_MASK)
+            acc = acc.at[1:N + 1].add(prod >> LIMB_BITS)
+            u = ((acc[0] & LIMB_MASK) * n0inv) & LIMB_MASK
+            prod = u[None] * p_vec
+            acc = acc.at[0:N].add(prod & LIMB_MASK)
+            acc = acc.at[1:N + 1].add(prod >> LIMB_BITS)
+            acc = acc.at[1].add(acc[0] >> LIMB_BITS)
+            return jnp.concatenate([acc[1:], zrow], axis=0), None
+
+        a_b = jnp.broadcast_to(a[:, None].reshape(
+            (a.shape[0],) + (1,) * (len(batch) - (a.ndim - 1))
+            + a.shape[1:]), (a.shape[0],) + batch)
+        acc, _ = jax.lax.scan(step, acc0, a_b)
+        res = self._carry_propagate(acc, out_len=self.N + 1)
+        return self._cond_sub_p(res)
+
     def sqr(self, a):
         return self.mul(a, a)
 

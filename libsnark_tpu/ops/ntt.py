@@ -20,7 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from .limbs import ints_to_limbs
+
+
+def _mxu_enabled() -> bool:
+    """LIBSNARK_TPU_NTT_MXU=1 routes fft/ifft through the MXU digit-
+    matmul path (ops/ntt_mxu.py). Off by default until device-validated;
+    the explicit fft_mxu/ifft_mxu methods work regardless."""
+    return os.environ.get("LIBSNARK_TPU_NTT_MXU", "0") == "1"
 
 
 def batch_inverse(xs, p):
@@ -89,6 +98,30 @@ class Radix2Domain:
                               self.fk.N)))
         return tables
 
+    # ------------------------------------------------------------- MXU path
+    def _mxdft(self, inverse: bool):
+        """Cached MxDft instance (forward, or inverse with 1/m folded
+        into its final correction constant)."""
+        key = "_mx_inv" if inverse else "_mx_fwd"
+        if getattr(self, key, None) is None:
+            from .ntt_mxu import MxDft
+            dtype = os.environ.get("LIBSNARK_TPU_NTT_MXU_DTYPE", "int8")
+            if inverse:
+                mx = MxDft(self.fk, self.logm, self.omega_inv,
+                           scale=self.m_inv, dtype=dtype)
+            else:
+                mx = MxDft(self.fk, self.logm, self.omega, dtype=dtype)
+            setattr(self, key, mx)
+        return getattr(self, key)
+
+    def fft_mxu(self, a, tables=None):
+        """DFT via MXU digit matmuls (natural order, == fft)."""
+        return self._mxdft(False).apply(a, tables)
+
+    def ifft_mxu(self, a, tables=None):
+        """Inverse DFT via MXU digit matmuls (1/m scaling included)."""
+        return self._mxdft(True).apply(a, tables)
+
     def device_tables(self):
         """Twiddle/permutation/coset tables as a jit-argument pytree.
 
@@ -106,6 +139,9 @@ class Radix2Domain:
                 "coset_inv": jnp.asarray(
                     self._powers_table(self.generator_inv)),
             }
+            if _mxu_enabled():
+                self._dt["mxu_fwd"] = self._mxdft(False).device_tables()
+                self._dt["mxu_inv"] = self._mxdft(True).device_tables()
         return self._dt
 
     def _powers_table(self, g: int):
@@ -149,12 +185,16 @@ class Radix2Domain:
 
     def fft(self, a, dt=None):
         """Evaluate: coefficients -> values on the domain (natural order)."""
+        if _mxu_enabled():
+            return self.fft_mxu(a, dt.get("mxu_fwd") if dt else None)
         if dt is not None:
             return self._fft_core(a, dt["tw"], dt["perm"])
         return self._fft_core(a, self._tw)
 
     def ifft(self, a, dt=None):
         """Interpolate: values -> coefficients, scaled by 1/m."""
+        if _mxu_enabled():
+            return self.ifft_mxu(a, dt.get("mxu_inv") if dt else None)
         out = (self._fft_core(a, dt["tw_inv"], dt["perm"])
                if dt is not None else self._fft_core(a, self._tw_inv))
         return self.fk.mul_small(out, self.m_inv)

@@ -1,0 +1,201 @@
+"""MXU-native NTT: DFT steps as int8 systolic-array matmuls.
+
+The radix-2 stage loop in ops/ntt.py is VPU-bound: log2(n) stages of
+(mul + add + sub) over the whole array ~= 48 scan kernels of u32 lane
+work for n = 2^16. On TPU the FLOPs belong on the MXU. This module
+re-casts the transform as recursive four-step Cooley-Tukey with radix
+16 (Bailey decomposition; libfqfft has no analogue -- this design is
+TPU-first), where each radix-R DFT is ONE shared integer matmul:
+
+  * Field elements (Montgomery form, 16-bit limbs) are split into 4-bit
+    nibbles; multiplication by the CONSTANT DFT matrix W_R[k,j] = w^(jk)
+    is linear over the nibbles, so the whole "sum of field products" is
+    a single (TO*R, 4N*R) x (4N*R, batch) int8 matmul with int32
+    accumulation -- exact (max column 225*4N*R < 2^24) and MXU-native.
+    A bf16/f32 variant is provided for backends without int8 matmul
+    units (also exact under the same bound).
+  * The per-level twiddle multiply doubles as the reduction back to
+    canonical form: the 2N-limb wide matmul result feeds FpKernel.
+    mul_wide against the PLAIN twiddle table, which performs a
+    (2N)-step Montgomery scan -- one VPU pass per level instead of
+    log2(n) passes total.
+  * All accumulated 2^(-16*2N) Montgomery factors (one per level) are
+    cancelled by a single final constant, which also absorbs 1/m for
+    the inverse transform.
+
+Behavioral parity target: libfqfft basic_radix2_domain FFT/iFFT
+(_basic_radix2_FFT, libfqfft/evaluation_domain/domains/
+basic_radix2_domain_aux.tcc) -- same natural-order DFT semantics,
+entirely different algorithm/hardware mapping.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, ints_to_limbs
+
+U32 = jnp.uint32
+
+
+def _dft_digit_matrix(p: int, w: int, R: int, N: int) -> np.ndarray:
+    """Nibble-expanded DFT matrix for radix R, root w (order R) mod p.
+
+    Returns AM (TO*R, D*R) uint8 with D = 4N input nibbles per element
+    and TO = 2*D output nibble positions:
+      AM[t*R + k, d*R + j] = nibble_{t-d}( w^(jk) mod p )
+    so that for canonical inputs v_j = sum_d nib[d,j] 2^(4d):
+      out[t, k] = sum_{d,j} AM[tR+k, dR+j] * nib[d, j]
+                = nibble-column t of  sum_j W[k,j] * v_j  (exact).
+    """
+    D = 4 * N
+    TO = 2 * D
+    W = np.zeros((R, R), dtype=object)
+    for k in range(R):
+        for j in range(R):
+            W[k, j] = pow(w, (j * k) % R, p)
+    # nibble planes of W: (D, R, R)
+    nib = np.zeros((D, R, R), dtype=np.uint8)
+    for d in range(D):
+        for k in range(R):
+            for j in range(R):
+                nib[d, k, j] = (W[k, j] >> (4 * d)) & 15
+    AM = np.zeros((TO * R, D * R), dtype=np.uint8)
+    t_idx = np.arange(TO)[:, None]          # (TO, 1)
+    d_idx = np.arange(D)[None, :]           # (1, D)
+    delta = t_idx - d_idx                   # (TO, D)
+    ok = (delta >= 0) & (delta < D)
+    for k in range(R):
+        for j in range(R):
+            block = np.zeros((TO, D), dtype=np.uint8)
+            block[ok] = nib[delta[ok], k, j]
+            AM[k::R, j::R] = block
+    return AM
+
+
+class MxDft:
+    """DFT of size n = 2^logn over Fr via MXU digit matmuls.
+
+    Drop-in for Radix2Domain._fft_core semantics (natural order in/out,
+    Y[k] = sum_j x[j] w^(jk), Montgomery limbs in and out). `scale` is
+    an extra plain-int factor folded into the final correction (1/m for
+    the inverse transform, coset constants, ...).
+    """
+
+    def __init__(self, fk, logn: int, omega: int, scale: int = 1,
+                 dtype: str = "int8"):
+        self.fk = fk
+        p = fk.p
+        N = fk.N
+        assert 4 + 2 * p.bit_length() <= 32 * N, \
+            "wide product must fit 2N limbs"
+        self.logn = logn
+        self.n = 1 << logn
+        self.dtype = dtype
+        # level sizes: peel radix 16 until the leaf (<= 16)
+        sizes = [self.n]
+        while sizes[-1] > 16:
+            sizes.append(sizes[-1] // 16)
+        self.sizes = sizes
+        leaf = sizes[-1]
+        # DFT matrices: the order-R root is omega^(n/R) at EVERY level
+        self._AM = {}
+        for R in {16, leaf} if self.n > 16 else {leaf}:
+            if R > self.n:
+                continue
+            wR = pow(omega, self.n // R, p)
+            self._AM[R] = _dft_digit_matrix(p, wR, R, N)
+        # per-level twiddle tables (plain ints): TW[j1, k2] = w_l^(j1*k2)
+        # with w_l = omega^(n/nl); shared by all same-size subproblems
+        self._tw = []
+        for nl in sizes[:-1]:
+            wl = pow(omega, self.n // nl, p)
+            n2 = nl // 16
+            vals = [pow(wl, (j1 * k2), p)
+                    for j1 in range(16) for k2 in range(n2)]
+            self._tw.append(
+                np.asarray(ints_to_limbs(vals, N)).reshape(N, 16, n2))
+        # final correction: cancel one 2^(-16*2N) per level, apply scale
+        S = len(sizes)
+        c = pow(2, 16 * 2 * N * S, p) * (scale % p) % p
+        self._final = np.asarray(ints_to_limbs([c], N)).reshape(N, 1)
+
+    # ------------------------------------------------------------- pytree
+    def device_tables(self):
+        """Tables as a jit-argument pytree (keeps big constants out of
+        the HLO; same rationale as Radix2Domain.device_tables)."""
+        return {
+            "AM": {R: jnp.asarray(m) for R, m in self._AM.items()},
+            "tw": tuple(jnp.asarray(t) for t in self._tw),
+            "final": jnp.asarray(self._final),
+        }
+
+    # ------------------------------------------------------------ matmul
+    def _matmul(self, v, AM, R: int):
+        """One radix-R DFT along the LAST axis of v (canonical Montgomery
+        limbs (N, *batch, R)) as a single digit matmul. Returns wide
+        nibble columns (TO, *batch, R) int32."""
+        N = self.fk.N
+        D = 4 * N
+        TO = 2 * D
+        # nibble planes: d = 4*i + s
+        ds = jnp.stack([(v >> (4 * s)) & 15 for s in range(4)], axis=1)
+        ds = ds.reshape((D,) + v.shape[1:])          # (D, *batch, R)
+        x = jnp.moveaxis(ds, -1, 1)                  # (D, R, *batch)
+        batch = x.shape[2:]
+        x2 = x.reshape(D * R, -1)                    # rows d*R + j
+        if self.dtype == "bf16":
+            out = jax.lax.dot_general(
+                AM.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = out.astype(jnp.int32)
+        else:
+            out = jax.lax.dot_general(
+                AM.astype(jnp.int8), x2.astype(jnp.int8),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        out = out.reshape((TO, R) + batch)           # rows t*R + k
+        return jnp.moveaxis(out, 1, -1)              # (TO, *batch, R)
+
+    def _mulw(self, dig, table):
+        """Wide nibble columns -> canonical Montgomery limbs, times the
+        PLAIN-int table (twiddles or the final constant)."""
+        fk = self.fk
+        N = fk.N
+        cols = dig.astype(U32).reshape((2 * N, 4) + dig.shape[1:])
+        cols = (cols[:, 0] + (cols[:, 1] << 4)
+                + (cols[:, 2] << 8) + (cols[:, 3] << 12))  # (2N, *batch)
+        wide = fk._carry_propagate(cols, out_len=2 * N)
+        return fk.mul_wide(wide, table)
+
+    # --------------------------------------------------------- recursion
+    def _rec(self, v, li: int, post, tables):
+        """DFT of size sizes[li] along v's last axis; `post` is the
+        plain table the caller wants multiplied into the output (its
+        own twiddles, or the final constant at the top)."""
+        nl = self.sizes[li]
+        if nl <= 16:
+            t = self._matmul(v, tables["AM"][nl], nl)
+            return self._mulw(t, post)
+        n2 = nl // 16
+        # x[j1 + 16*j2] -> (*, j1, j2): child DFT over j2 batched by j1
+        v2 = v.reshape(v.shape[:-1] + (n2, 16))
+        v2 = jnp.swapaxes(v2, -1, -2)                # (N, *b, 16, n2)
+        A = self._rec(v2, li + 1, tables["tw"][li], tables)
+        B = jnp.swapaxes(A, -1, -2)                  # (N, *b, n2, 16)
+        C = self._matmul(B, tables["AM"][16], 16)    # (TO, *b, n2, 16)
+        D = jnp.swapaxes(C, -1, -2)                  # (TO, *b, 16, n2)
+        D = D.reshape(D.shape[:-2] + (nl,))          # flat k = k2+n2*k1
+        return self._mulw(D, post)
+
+    def apply(self, v, tables=None):
+        """v: (N, *batch, n) canonical Montgomery limbs -> DFT, same
+        shape/form. Pass `tables` (device_tables()) through a jit
+        boundary to keep the constants out of the compiled graph."""
+        if tables is None:
+            tables = self.device_tables()
+        return self._rec(v, 0, tables["final"], tables)
