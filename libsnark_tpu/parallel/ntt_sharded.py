@@ -68,15 +68,17 @@ class FourStepDomain:
             arr, NamedSharding(self.mesh, spec))
 
     def _fft_along(self, dom, A, axis_idx):
-        """Apply dom's fft on the given axis of (N, n1, n2)."""
+        """Apply dom's fft on the given axis of (N, n1, n2). Routed
+        through dom.fft so LIBSNARK_TPU_NTT_MXU=1 turns the local
+        transforms into MXU digit matmuls (the all-to-all exchange is
+        unchanged)."""
         Am = jnp.swapaxes(A, axis_idx, -1)
-        out = dom._fft_core(Am, dom._tw)
+        out = dom.fft(Am)
         return jnp.swapaxes(out, axis_idx, -1)
 
     def _ifft_along(self, dom, A, axis_idx):
         Am = jnp.swapaxes(A, axis_idx, -1)
-        out = dom._fft_core(Am, dom._tw_inv)
-        out = dom.fk.mul_small(out, dom.m_inv)
+        out = dom.ifft(Am)
         return jnp.swapaxes(out, axis_idx, -1)
 
     def _four_step(self, a, fwd: bool):
