@@ -191,6 +191,32 @@ def main():
             "unit": "elements/s/chip",
             "seconds": round(min(nt), 4)})
         print(f"# ifft 2^{logn} best={min(nt):.4f}s", file=sys.stderr)
+
+        # MXU digit-matmul variant (ops/ntt_mxu.py); tables ride as jit
+        # arguments to keep the HLO free of MB-scale literals
+        mxt = dom._mxdft(True).device_tables()
+
+        def chained_mx(a, tb):
+            def body(i, v):
+                return dom.ifft_mxu(v, tb)
+            out = jax.lax.fori_loop(0, CH, body, a)
+            return jnp.sum(out, dtype=jnp.uint32)
+
+        ifft_mx = jax.jit(chained_mx)
+        drain(ifft_mx(fresh_poly(), mxt))
+        ntm = []
+        for _ in range(iters):
+            a = fresh_poly()
+            drain(a)
+            t0 = time.monotonic()
+            drain(ifft_mx(a, mxt))
+            ntm.append((time.monotonic() - t0) / CH)
+        extras.append({
+            "metric": f"ifft_mxu_fr_elems_per_s_2e{logn}",
+            "value": round((1 << logn) / min(ntm), 1),
+            "unit": "elements/s/chip",
+            "seconds": round(min(ntm), 4)})
+        print(f"# ifft_mxu 2^{logn} best={min(ntm):.4f}s", file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(f"# ntt bench failed: {e!r}", file=sys.stderr)
     try:
