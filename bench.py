@@ -194,7 +194,7 @@ def main():
 
         # MXU digit-matmul variant (ops/ntt_mxu.py); tables ride as jit
         # arguments to keep the HLO free of MB-scale literals
-        mxt = dom._mxdft(True).device_tables()
+        mxt = dom._mxdft("inv").device_tables()
 
         def chained_mx(a, tb):
             def body(i, v):

@@ -99,28 +99,37 @@ class Radix2Domain:
         return tables
 
     # ------------------------------------------------------------- MXU path
-    def _mxdft(self, inverse: bool):
-        """Cached MxDft instance (forward, or inverse with 1/m folded
-        into its final correction constant)."""
-        key = "_mx_inv" if inverse else "_mx_fwd"
+    def _mxdft(self, kind: str):
+        """Cached MxDft instances: "fwd", "inv" (1/m folded into the
+        final constant), "coset" (generator^j input scaling folded into
+        the DFT matrices), "icoset" (inverse + generator^-k output
+        scaling folded)."""
+        key = "_mx_" + kind
         if getattr(self, key, None) is None:
             from .ntt_mxu import MxDft
             dtype = os.environ.get("LIBSNARK_TPU_NTT_MXU_DTYPE", "int8")
-            if inverse:
+            if kind == "fwd":
+                mx = MxDft(self.fk, self.logm, self.omega, dtype=dtype)
+            elif kind == "inv":
                 mx = MxDft(self.fk, self.logm, self.omega_inv,
                            scale=self.m_inv, dtype=dtype)
-            else:
-                mx = MxDft(self.fk, self.logm, self.omega, dtype=dtype)
+            elif kind == "coset":
+                mx = MxDft(self.fk, self.logm, self.omega, dtype=dtype,
+                           coset_in=self.generator)
+            else:  # icoset
+                mx = MxDft(self.fk, self.logm, self.omega_inv,
+                           scale=self.m_inv, dtype=dtype,
+                           coset_out=self.generator_inv)
             setattr(self, key, mx)
         return getattr(self, key)
 
     def fft_mxu(self, a, tables=None):
         """DFT via MXU digit matmuls (natural order, == fft)."""
-        return self._mxdft(False).apply(a, tables)
+        return self._mxdft("fwd").apply(a, tables)
 
     def ifft_mxu(self, a, tables=None):
         """Inverse DFT via MXU digit matmuls (1/m scaling included)."""
-        return self._mxdft(True).apply(a, tables)
+        return self._mxdft("inv").apply(a, tables)
 
     def device_tables(self):
         """Twiddle/permutation/coset tables as a jit-argument pytree.
@@ -140,8 +149,9 @@ class Radix2Domain:
                     self._powers_table(self.generator_inv)),
             }
             if _mxu_enabled():
-                self._dt["mxu_fwd"] = self._mxdft(False).device_tables()
-                self._dt["mxu_inv"] = self._mxdft(True).device_tables()
+                for kind in ("fwd", "inv", "coset", "icoset"):
+                    self._dt["mxu_" + kind] = \
+                        self._mxdft(kind).device_tables()
         return self._dt
 
     def _powers_table(self, g: int):
@@ -217,12 +227,20 @@ class Radix2Domain:
         return fk.mul(a, jnp.broadcast_to(tbl, a.shape))
 
     def coset_fft(self, a, g: int = None, dt=None):
+        if g is None and _mxu_enabled():
+            # g^j input scaling folded into the MXU DFT matrices
+            return self._mxdft("coset").apply(
+                a, dt.get("mxu_coset") if dt else None)
         if dt is not None and g is None:
             return self.fft(self._mul_by_table(a, dt["coset"]), dt)
         g = self.generator if g is None else g
         return self.fft(self._mul_by_powers(a, g))
 
     def icoset_fft(self, a, g: int = None, dt=None):
+        if g is None and _mxu_enabled():
+            # g^-k output scaling + 1/m folded into the MXU matrices
+            return self._mxdft("icoset").apply(
+                a, dt.get("mxu_icoset") if dt else None)
         if dt is not None and g is None:
             return self._mul_by_table(self.ifft(a, dt), dt["coset_inv"])
         g = self.generator if g is None else g

@@ -41,22 +41,30 @@ from .limbs import LIMB_BITS, ints_to_limbs
 U32 = jnp.uint32
 
 
-def _dft_digit_matrix(p: int, w: int, R: int, N: int) -> np.ndarray:
+def _dft_digit_matrix(p: int, w: int, R: int, N: int,
+                      ldiag=None, rdiag=None) -> np.ndarray:
     """Nibble-expanded DFT matrix for radix R, root w (order R) mod p.
 
     Returns AM (TO*R, D*R) uint8 with D = 4N input nibbles per element
     and TO = 2*D output nibble positions:
-      AM[t*R + k, d*R + j] = nibble_{t-d}( w^(jk) mod p )
+      AM[t*R + k, d*R + j] = nibble_{t-d}( ldiag[k] * w^(jk) * rdiag[j] )
     so that for canonical inputs v_j = sum_d nib[d,j] 2^(4d):
       out[t, k] = sum_{d,j} AM[tR+k, dR+j] * nib[d, j]
                 = nibble-column t of  sum_j W[k,j] * v_j  (exact).
+    ldiag/rdiag (length-R plain ints) fold coset scalings into the
+    matrix for free.
     """
     D = 4 * N
     TO = 2 * D
     W = np.zeros((R, R), dtype=object)
     for k in range(R):
         for j in range(R):
-            W[k, j] = pow(w, (j * k) % R, p)
+            v = pow(w, (j * k) % R, p)
+            if ldiag is not None:
+                v = v * ldiag[k] % p
+            if rdiag is not None:
+                v = v * rdiag[j] % p
+            W[k, j] = v
     # nibble planes of W: (D, R, R)
     nib = np.zeros((D, R, R), dtype=np.uint8)
     for d in range(D):
@@ -86,7 +94,12 @@ class MxDft:
     """
 
     def __init__(self, fk, logn: int, omega: int, scale: int = 1,
-                 dtype: str = "int8"):
+                 dtype: str = "int8", coset_in: int = None,
+                 coset_out: int = None):
+        """coset_in=g folds the input scaling x[j] *= g^j into the DFT
+        matrices (cosetFFT); coset_out=h folds the output scaling
+        Y[k] *= h^k (icosetFFT's post-multiply). Both are free on the
+        MXU: each level's matrix absorbs a diagonal factor."""
         self.fk = fk
         p = fk.p
         N = fk.N
@@ -100,14 +113,27 @@ class MxDft:
         while sizes[-1] > 16:
             sizes.append(sizes[-1] // 16)
         self.sizes = sizes
-        leaf = sizes[-1]
-        # DFT matrices: the order-R root is omega^(n/R) at EVERY level
-        self._AM = {}
-        for R in {16, leaf} if self.n > 16 else {leaf}:
-            if R > self.n:
-                continue
+        # per-level OUTER-DFT matrices (radix 16, leaf for the last);
+        # the order-R root is omega^(n/R) at every level. Coset
+        # diagonals: level l's input index j1 carries g^(16^l * j1)
+        # (g^j = prod_l g^(16^l * j1_l)); its output index k1 carries
+        # h^((nl/16) * k1), with h^(k2) delegated to the child.
+        self._AM_levels = []
+        cache = {}
+        for l, nl in enumerate(sizes):
+            R = min(nl, 16)
             wR = pow(omega, self.n // R, p)
-            self._AM[R] = _dft_digit_matrix(p, wR, R, N)
+            ld = rd = None
+            if coset_in is not None:
+                gl = pow(coset_in, 16 ** l, p)
+                rd = tuple(pow(gl, j, p) for j in range(R))
+            if coset_out is not None:
+                hl = coset_out if nl <= 16 else pow(coset_out, nl // 16, p)
+                ld = tuple(pow(hl, k, p) for k in range(R))
+            key = (R, wR, ld, rd)
+            if key not in cache:
+                cache[key] = _dft_digit_matrix(p, wR, R, N, ld, rd)
+            self._AM_levels.append(cache[key])
         # per-level twiddle tables (plain ints): TW[j1, k2] = w_l^(j1*k2)
         # with w_l = omega^(n/nl); shared by all same-size subproblems
         self._tw = []
@@ -127,8 +153,12 @@ class MxDft:
     def device_tables(self):
         """Tables as a jit-argument pytree (keeps big constants out of
         the HLO; same rationale as Radix2Domain.device_tables)."""
+        uniq = {}
+        for m in self._AM_levels:
+            if id(m) not in uniq:
+                uniq[id(m)] = jnp.asarray(m)
         return {
-            "AM": {R: jnp.asarray(m) for R, m in self._AM.items()},
+            "AM": tuple(uniq[id(m)] for m in self._AM_levels),
             "tw": tuple(jnp.asarray(t) for t in self._tw),
             "final": jnp.asarray(self._final),
         }
@@ -179,7 +209,7 @@ class MxDft:
         own twiddles, or the final constant at the top)."""
         nl = self.sizes[li]
         if nl <= 16:
-            t = self._matmul(v, tables["AM"][nl], nl)
+            t = self._matmul(v, tables["AM"][li], nl)
             return self._mulw(t, post)
         n2 = nl // 16
         # x[j1 + 16*j2] -> (*, j1, j2): child DFT over j2 batched by j1
@@ -187,7 +217,7 @@ class MxDft:
         v2 = jnp.swapaxes(v2, -1, -2)                # (N, *b, 16, n2)
         A = self._rec(v2, li + 1, tables["tw"][li], tables)
         B = jnp.swapaxes(A, -1, -2)                  # (N, *b, n2, 16)
-        C = self._matmul(B, tables["AM"][16], 16)    # (TO, *b, n2, 16)
+        C = self._matmul(B, tables["AM"][li], 16)    # (TO, *b, n2, 16)
         D = jnp.swapaxes(C, -1, -2)                  # (TO, *b, 16, n2)
         D = D.reshape(D.shape[:-2] + (nl,))          # flat k = k2+n2*k1
         return self._mulw(D, post)
