@@ -220,8 +220,10 @@ def main():
     except Exception as e:  # secondary metrics must never break the bench
         print(f"# ntt bench failed: {e!r}", file=sys.stderr)
     try:
-        with open(os.path.join(os.path.dirname(__file__),
-                               "BENCH_EXTRA.json"), "w") as f:
+        # CPU smoke runs must not clobber the committed TPU numbers
+        name = ("BENCH_EXTRA.json" if jax.devices()[0].platform != "cpu"
+                else "BENCH_EXTRA_CPU.json")
+        with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
             json.dump({"msm": {"points_per_s": round(pps, 1),
                                "seconds": round(best, 4), "c": c,
                                "log2m": log2m},
