@@ -116,9 +116,16 @@ class Radix2Domain:
             elif kind == "coset":
                 mx = MxDft(self.fk, self.logm, self.omega, dtype=dtype,
                            coset_in=self.generator)
-            else:  # icoset
+            elif kind == "icoset":
                 mx = MxDft(self.fk, self.logm, self.omega_inv,
                            scale=self.m_inv, dtype=dtype,
+                           coset_out=self.generator_inv)
+            else:  # icoset_divz: 1/Z(g) (constant on the coset) rides
+                # the final correction too -- the QAP witness map's
+                # divide_by_Z + icosetFFT collapse into one transform
+                zinv = pow(self.vanishing_eval(self.generator), -1, self.p)
+                mx = MxDft(self.fk, self.logm, self.omega_inv,
+                           scale=self.m_inv * zinv % self.p, dtype=dtype,
                            coset_out=self.generator_inv)
             setattr(self, key, mx)
         return getattr(self, key)
@@ -149,7 +156,8 @@ class Radix2Domain:
                     self._powers_table(self.generator_inv)),
             }
             if _mxu_enabled():
-                for kind in ("fwd", "inv", "coset", "icoset"):
+                for kind in ("fwd", "inv", "coset", "icoset",
+                             "icoset_divz"):
                     self._dt["mxu_" + kind] = \
                         self._mxdft(kind).device_tables()
         return self._dt
@@ -251,6 +259,15 @@ class Radix2Domain:
     def vanishing_eval(self, t: int) -> int:
         """Z(t) = t^m - 1 (host int)."""
         return (pow(t, self.m, self.p) - 1) % self.p
+
+    def icoset_fft_divz(self, a, dt=None):
+        """icosetFFT(divide_by_Z_on_coset(a)): with the MXU path the
+        1/Z(g) constant folds into the transform's final correction;
+        otherwise exactly the two-step reference pipeline."""
+        if _mxu_enabled():
+            return self._mxdft("icoset_divz").apply(
+                a, dt.get("mxu_icoset_divz") if dt else None)
+        return self.icoset_fft(self.divide_by_z_on_coset(a), dt=dt)
 
     def divide_by_z_on_coset(self, a, g: int = None):
         """a[i] /= Z(g * w^i); on the coset Z is the constant g^m - 1

@@ -106,8 +106,7 @@ def qap_witness_map(r1cs_dev, domain, assignment_mont, dev_arrs=None,
     aC = r1cs_dev.C.evaluate(fk, assignment_mont, m, da.get("C"))
     eC = domain.coset_fft(domain.ifft(aC, dt), dt=dt)
     H = fk.sub(H, eC)
-    H = domain.divide_by_z_on_coset(H)
-    return domain.icoset_fft(H, dt=dt)
+    return domain.icoset_fft_divz(H, dt=dt)
 
 
 def qap_witness_map_zk(r1cs_dev, domain, assignment_mont, d1_m, d2_m, d3_m):
@@ -141,8 +140,7 @@ def qap_witness_map_zk(r1cs_dev, domain, assignment_mont, d1_m, d2_m, d3_m):
     aC = r1cs_dev.C.evaluate(fk, assignment_mont, m)
     eC = domain.coset_fft(domain.ifft(aC))
     H = fk.sub(H, eC)
-    H = domain.divide_by_z_on_coset(H)
-    Hc = domain.icoset_fft(H)
+    Hc = domain.icoset_fft_divz(H)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     d1d2 = fk.mul(d1_m, d2_m)                      # (N, 1)

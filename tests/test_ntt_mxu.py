@@ -92,6 +92,38 @@ def test_mxdft_other_scalar_fields(curve, logn):
     assert [int(v) for v in got] == _host_dft(xs, dom.omega, frp.p)
 
 
+def test_mxdft_adversarial_max_values(bn_fr):
+    """All inputs = p-1 (every nibble near max) -- worst-case int32
+    column accumulation in the digit matmul and mul_wide carries."""
+    fk, frp = bn_fr
+    dom = Radix2Domain(fk, frp, 6)
+    xs = [frp.p - 1] * 64
+    got = fk.decode(MxDft(fk, 6, dom.omega).apply(
+        jnp.asarray(fk.encode(xs))))
+    assert [int(v) for v in got] == _host_dft(xs, dom.omega, frp.p)
+
+
+def test_mul_wide_random_and_extremes(bn_fr):
+    """mul_wide(a, b) == a*b*2^(-16*Wa) mod p for wide a, incl. the
+    all-0xFFFF extreme and broadcastable b tables."""
+    fk, frp = bn_fr
+    p, N = frp.p, fk.N
+    random.seed(77)
+    Wa = 2 * N
+    cases = [random.randrange(1 << (16 * Wa)) for _ in range(3)]
+    cases.append((1 << (16 * Wa)) - 1)
+    bs = [random.randrange(p) for _ in cases]
+    a_np = np.zeros((Wa, len(cases)), dtype=np.uint32)
+    for j, v in enumerate(cases):
+        for i in range(Wa):
+            a_np[i, j] = (v >> (16 * i)) & 0xFFFF
+    b = jnp.asarray(fk.encode(bs, mont=False))
+    out = fk.decode(fk.mul_wide(jnp.asarray(a_np), b), mont=False)
+    rinv = pow(1 << (16 * Wa), -1, p)
+    for j, (av, bv) in enumerate(zip(cases, bs)):
+        assert int(out[j]) == av * bv * rinv % p
+
+
 def test_mxdft_batch_dims(bn_fr):
     """Leading batch axes transform independently along the last axis."""
     fk, frp = bn_fr
