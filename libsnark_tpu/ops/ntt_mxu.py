@@ -144,9 +144,24 @@ class MxDft:
                     for j1 in range(16) for k2 in range(n2)]
             self._tw.append(
                 np.asarray(ints_to_limbs(vals, N)).reshape(N, 16, n2))
-        # final correction: cancel one 2^(-16*2N) per level, apply scale
+        # fold matrix: a second small matmul compresses the 2D-nibble
+        # matmul result (value < 2^18 * 2^(8N-ish)) back to D nibbles
+        # (value < 2^18 * 2^(4D)), shrinking the per-level mul_wide
+        # scan from 2N to N+2 limbs. F[d, t*5+s] = nib_d(2^(4(t+s)) % p)
+        # -- each int32 nibble column splits into 5 four-bit planes.
+        D = 4 * N
+        TO = 2 * D
+        F = np.zeros((D, TO * 5), dtype=np.uint8)
+        for t in range(TO):
+            for s in range(5):
+                v = pow(2, 4 * (t + s), p)
+                for d in range(D):
+                    F[d, t * 5 + s] = (v >> (4 * d)) & 15
+        self._fold = F
+        self._wa = N + 2
+        # final correction: cancel one 2^(-16*Wa) per level, apply scale
         S = len(sizes)
-        c = pow(2, 16 * 2 * N * S, p) * (scale % p) % p
+        c = pow(2, 16 * self._wa * S, p) * (scale % p) % p
         self._final = np.asarray(ints_to_limbs([c], N)).reshape(N, 1)
 
     # ------------------------------------------------------------- pytree
@@ -160,8 +175,22 @@ class MxDft:
         return {
             "AM": tuple(uniq[id(m)] for m in self._AM_levels),
             "tw": tuple(jnp.asarray(t) for t in self._tw),
+            "fold": jnp.asarray(self._fold),
             "final": jnp.asarray(self._final),
         }
+
+    def _dot(self, M, x2):
+        """Integer matmul in the configured exact dtype."""
+        if self.dtype == "bf16":
+            out = jax.lax.dot_general(
+                M.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return out.astype(jnp.int32)
+        return jax.lax.dot_general(
+            M.astype(jnp.int8), x2.astype(jnp.int8),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
 
     # ------------------------------------------------------------ matmul
     def _matmul(self, v, AM, R: int):
@@ -177,29 +206,30 @@ class MxDft:
         x = jnp.moveaxis(ds, -1, 1)                  # (D, R, *batch)
         batch = x.shape[2:]
         x2 = x.reshape(D * R, -1)                    # rows d*R + j
-        if self.dtype == "bf16":
-            out = jax.lax.dot_general(
-                AM.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out = out.astype(jnp.int32)
-        else:
-            out = jax.lax.dot_general(
-                AM.astype(jnp.int8), x2.astype(jnp.int8),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+        out = self._dot(AM, x2)
         out = out.reshape((TO, R) + batch)           # rows t*R + k
         return jnp.moveaxis(out, 1, -1)              # (TO, *batch, R)
 
-    def _mulw(self, dig, table):
+    def _mulw(self, dig, table, tables):
         """Wide nibble columns -> canonical Montgomery limbs, times the
-        PLAIN-int table (twiddles or the final constant)."""
+        PLAIN-int table (twiddles or the final constant).
+
+        The fold matmul first compresses the 2D nibble columns (< 2^20)
+        to D nibbles (< 2^18) -- value preserved mod p -- so the CIOS
+        scan runs N+2 steps instead of 2N."""
         fk = self.fk
         N = fk.N
-        cols = dig.astype(U32).reshape((2 * N, 4) + dig.shape[1:])
+        D = 4 * N
+        TO = dig.shape[0]
+        planes = jnp.stack([(dig >> (4 * s)) & 15 for s in range(5)],
+                           axis=1)                   # (TO, 5, *batch)
+        x2 = planes.reshape(TO * 5, -1)              # rows t*5 + s
+        out = self._dot(tables["fold"], x2)          # (D, B)
+        dig2 = out.reshape((D,) + dig.shape[1:])
+        cols = dig2.astype(U32).reshape((N, 4) + dig.shape[1:])
         cols = (cols[:, 0] + (cols[:, 1] << 4)
-                + (cols[:, 2] << 8) + (cols[:, 3] << 12))  # (2N, *batch)
-        wide = fk._carry_propagate(cols, out_len=2 * N)
+                + (cols[:, 2] << 8) + (cols[:, 3] << 12))  # (N, *batch)
+        wide = fk._carry_propagate(cols, out_len=self._wa)
         return fk.mul_wide(wide, table)
 
     # --------------------------------------------------------- recursion
@@ -210,7 +240,7 @@ class MxDft:
         nl = self.sizes[li]
         if nl <= 16:
             t = self._matmul(v, tables["AM"][li], nl)
-            return self._mulw(t, post)
+            return self._mulw(t, post, tables)
         n2 = nl // 16
         # x[j1 + 16*j2] -> (*, j1, j2): child DFT over j2 batched by j1
         v2 = v.reshape(v.shape[:-1] + (n2, 16))
@@ -220,7 +250,7 @@ class MxDft:
         C = self._matmul(B, tables["AM"][li], 16)    # (TO, *b, n2, 16)
         D = jnp.swapaxes(C, -1, -2)                  # (TO, *b, 16, n2)
         D = D.reshape(D.shape[:-2] + (nl,))          # flat k = k2+n2*k1
-        return self._mulw(D, post)
+        return self._mulw(D, post, tables)
 
     def apply(self, v, tables=None):
         """v: (N, *batch, n) canonical Montgomery limbs -> DFT, same
