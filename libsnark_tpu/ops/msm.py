@@ -154,6 +154,13 @@ class MSMKernel:
         m = scalars.shape[-1]
         if m > self.SEGMENT and flag != "0":
             return self._window_sums_segmented(points_aff, scalars, c)
+        # LIBSNARK_TPU_MSM_FUSED=1: route through the fused Pallas
+        # bucket-reduce kernel (G1/plain-Fp only; device bring-up knob
+        # for bench.py -- interpret-verified, see test_pallas_bucket)
+        if os.environ.get("LIBSNARK_TPU_MSM_FUSED") == "1":
+            from .pallas_ec import ec_pallas_ok
+            if ec_pallas_ok(self.fk):
+                return self.window_sums_fused(points_aff, scalars, c)
         use_dense = (flag == "1" or (flag not in ("0",) and m >= 2048))
         if use_dense:
             return self.window_sums_dense(points_aff, scalars, c)

@@ -14,14 +14,15 @@ TPU-first), where each radix-R DFT is ONE shared integer matmul:
     accumulation -- exact (max column 225*4N*R < 2^24) and MXU-native.
     A bf16/f32 variant is provided for backends without int8 matmul
     units (also exact under the same bound).
-  * The per-level twiddle multiply doubles as the reduction back to
-    canonical form: the 2N-limb wide matmul result feeds FpKernel.
-    mul_wide against the PLAIN twiddle table, which performs a
-    (2N)-step Montgomery scan -- one VPU pass per level instead of
-    log2(n) passes total.
-  * All accumulated 2^(-16*2N) Montgomery factors (one per level) are
-    cancelled by a single final constant, which also absorbs 1/m for
-    the inverse transform.
+  * A second small "fold" matmul compresses each stage's wide result
+    (2D nibble columns) back to D nibbles mod p, and the per-level
+    twiddle multiply doubles as the reduction to canonical form:
+    FpKernel.mul_wide against the PLAIN twiddle table runs an
+    (N+2)-step Montgomery scan -- one short VPU pass per level instead
+    of log2(n) full passes.
+  * All accumulated 2^(-16*(N+2)) Montgomery factors (one per level)
+    are cancelled by a single final constant, which also absorbs 1/m
+    for the inverse transform and any coset/divide-by-Z scalars.
 
 Behavioral parity target: libfqfft basic_radix2_domain FFT/iFFT
 (_basic_radix2_FFT, libfqfft/evaluation_domain/domains/
@@ -30,13 +31,11 @@ entirely different algorithm/hardware mapping.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import LIMB_BITS, ints_to_limbs
+from .limbs import ints_to_limbs
 
 U32 = jnp.uint32
 

@@ -139,6 +139,11 @@ class FourStepDomain:
         zi = pow((pow(g, self.m, self.p) - 1) % self.p, -1, self.p)
         return self.fk.mul_small(a, zi)
 
+    def icoset_fft_divz(self, a, dt=None):
+        """Same surface as Radix2Domain.icoset_fft_divz (the witness
+        map calls it on whichever domain it is handed)."""
+        return self.icoset_fft(self.divide_by_z_on_coset(a), dt=dt)
+
     def vanishing_eval(self, t: int) -> int:
         return (pow(t, self.m, self.p) - 1) % self.p
 

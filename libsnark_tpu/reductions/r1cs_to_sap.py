@@ -159,8 +159,7 @@ def sap_witness_map(dev: SAPDevice, domain, sap_assign_mont, d1_m, d2_m):
     aC = dev.C.evaluate(fk, sap_assign_mont, m)
     eC = domain.coset_fft(domain.ifft(aC))
     H = fk.sub(H, eC)
-    H = domain.divide_by_z_on_coset(H)
-    Hc = domain.icoset_fft(H)                       # (N, m)
+    Hc = domain.icoset_fft_divz(H)                  # (N, m)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     # (- d2 - d1^2) at coeff 0;  + d1^2 at coeff m

@@ -82,8 +82,7 @@ def ssp_witness_map(dev: SSPDevice, domain, assignment_mont, d_m):
     patch = fk.mul(cV, jnp.broadcast_to(two_d, cV.shape))
     eV = domain.coset_fft(cV)
     H = fk.sub(fk.mul(eV, eV), fk.one(eV.shape[1:]))
-    H = domain.divide_by_z_on_coset(H)
-    Hc = domain.icoset_fft(H)
+    Hc = domain.icoset_fft_divz(H)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     dsq = fk.mul(d_m, d_m)
