@@ -36,6 +36,7 @@ from .pallas_fp import _F, _fselect, _fzero_mask
 
 # buckets per grid step; lanes per tree level = B_TILE * width
 B_TILE = 8
+B_SHIFT = 3                     # log2(B_TILE)
 
 
 def _ec_madd_nomask(F, X1, Y1, Z1, X2, Y2, q_inf):
@@ -86,35 +87,34 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
 
         F = _F(p_ref[...], n0inv, one_ref[...])
 
-        # 2. to compute layout: (R, B_TILE*2N) -> (2N, B_TILE*R)
-        data = slab[...]                          # (B_TILE, R, 2N)
-        data = jnp.transpose(data, (2, 0, 1))     # (2N, B_TILE, R)
-        qx = data[:N].reshape(N, B_TILE * R)
-        qy = data[N:].reshape(N, B_TILE * R)
+        # 2. to compute layout: (B_TILE, R, 2N) -> (2N, R*B_TILE),
+        # lane index = r*B_TILE + j (r-major INTERLEAVE). With rows
+        # interleaved, "the first h rows of every bucket" is the
+        # CONTIGUOUS lane prefix [0, h*B_TILE) -- the halving tree below
+        # needs only plain lane slices (Mosaic rejects the slice+merge
+        # shape casts the bucket-major layout would need).
+        data = jnp.transpose(slab[...], (2, 1, 0))   # (2N, R, B_TILE)
+        qx = data[:N].reshape(N, R * B_TILE)
+        qy = data[N:].reshape(N, R * B_TILE)
 
-        # mask lanes beyond each bucket's count -> infinity
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, R), 1)
-        cnt = jnp.stack(
-            [jnp.full((R,), counts_ref[t * B_TILE + j], jnp.int32)
-             for j in range(B_TILE)], axis=0)     # (B_TILE, R)
-        invalid = (lane_r >= cnt).reshape(1, B_TILE * R)
-        q_inf = jnp.logical_or(invalid, _fzero_mask(qy))
+        # mask lanes beyond each bucket's count -> infinity. Computed
+        # directly in the flat interleaved shape (iota + per-bucket
+        # scalar selects; an (8, R) mask reshaped flat is a vector
+        # shape cast Mosaic cannot lower).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R * B_TILE), 1)
+        r_idx = jax.lax.shift_right_logical(lane, B_SHIFT)
+        cnt = jnp.zeros_like(lane)
+        for j in range(B_TILE):
+            cnt = jnp.where((lane & (B_TILE - 1)) == j,
+                            counts_ref[t * B_TILE + j], cnt)
+        q_inf = jnp.logical_or(r_idx >= cnt, _fzero_mask(qy))
 
-        # 3. level 0: lift left half, madd right half
-        def seg(a, lo, width):
-            """slice [lo, lo+width) of every bucket segment."""
-            return a.reshape(N, B_TILE, R)[:, :, lo:lo + width] \
-                    .reshape(N, B_TILE * width)
-
-        def seg1(a, lo, width):
-            return a.reshape(1, B_TILE, R)[:, :, lo:lo + width] \
-                    .reshape(1, B_TILE * width)
-
+        # 3. level 0: lift left half, madd right half (contiguous lane
+        # slices in the interleaved layout)
         half = R // 2
-        lx, ly = seg(qx, 0, half), seg(qy, 0, half)
-        li = seg1(q_inf, 0, half)
-        rx, ry = seg(qx, half, half), seg(qy, half, half)
-        ri = seg1(q_inf, half, half)
+        lw = half * B_TILE
+        lx, ly, li = qx[:, :lw], qy[:, :lw], q_inf[:, :lw]
+        rx, ry, ri = qx[:, lw:], qy[:, lw:], q_inf[:, lw:]
         one = F.one(lx)
         lz = jnp.where(li, jnp.zeros_like(one), one)
         X, Y, Z = _ec_madd_nomask(F, lx, ly, lz, rx, ry, ri)
@@ -124,23 +124,25 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
         width = half
         while width > 1:
             h = width // 2
-
-            def wseg(a, lo, w, width=width):
-                return a.reshape(N, B_TILE, width)[:, :, lo:lo + w] \
-                        .reshape(N, B_TILE * w)
-
-            PX, PY, PZ = (wseg(X, 0, h), wseg(Y, 0, h), wseg(Z, 0, h))
-            QX, QY, QZ = (wseg(X, h, h), wseg(Y, h, h), wseg(Z, h, h))
-            X, Y, Z = _ec_add(F, (PX, PY, PZ), (QX, QY, QZ))
+            hw = h * B_TILE
+            P = (X[:, :hw], Y[:, :hw], Z[:, :hw])
+            Q = (X[:, hw:2 * hw], Y[:, hw:2 * hw], Z[:, hw:2 * hw])
+            X, Y, Z = _ec_add(F, P, Q)
             width = h
+        X, Y, Z = X[:, :B_TILE], Y[:, :B_TILE], Z[:, :B_TILE]
 
-        ox[...], oy[...], oz[...] = X, Y, Z
+        ox[...], oy[...], oz[...] = (a[None] for a in (X, Y, Z))
 
-    out_shape = tuple(jax.ShapeDtypeStruct((N, num_buckets), jnp.uint32)
+    # Mosaic tiling rule: a block's last dim must be 128-divisible OR
+    # equal the array dim. B_TILE=8 lanes per step can't satisfy the
+    # former, so outputs are 3-D (T, N, B_TILE) with the block equal to
+    # the trailing dims; the caller flattens back to (N, num_buckets).
+    T = num_buckets // B_TILE
+    out_shape = tuple(jax.ShapeDtypeStruct((T, N, B_TILE), jnp.uint32)
                       for _ in range(3))
     # NB: with PrefetchScalarGridSpec, index maps receive the scalar-
     # prefetch refs after the grid indices
-    ospec = pl.BlockSpec((N, B_TILE), lambda t, *_: (0, t))
+    ospec = pl.BlockSpec((1, N, B_TILE), lambda t, *_: (t, 0, 0))
 
     cspec = pl.BlockSpec((N, 1), lambda t, *_: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -156,12 +158,14 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
 
     @jax.jit
     def call(starts, counts, rows):
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
         )(starts, counts, p_np, one_np, rows)
+        return tuple(jnp.transpose(o, (1, 0, 2)).reshape(N, num_buckets)
+                     for o in outs)
 
     return call
 
