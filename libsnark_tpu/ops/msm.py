@@ -292,21 +292,52 @@ class MSMKernel:
 
     def _tree_reduce_points(self, P):
         """Reduce a Jacobian point array over its LAST batch axis with a
-        log-depth add tree (odd widths pad with an infinity lane)."""
+        log-depth add tree.
+
+        Two shapes of the same log-depth reduction:
+        * TPU (Pallas group ops): python halving loop -- each level is a
+          half-width add, total group work ~2*width (the perf path; the
+          adds are single fused kernel launches).
+        * elsewhere: ONE add call site inside a fori_loop, shifting by a
+          traced halving offset on a constant-width array. Same depth,
+          width*log(width) lanes of (parallel) work -- but the XLA graph
+          holds a single point-add instead of log2(width) differently
+          shaped ones, which is the difference between a 31 s and a 3 s
+          cold compile (the dominant cost of every small-MSM program on
+          a 1-core host).
+        """
         ck = self.ck
         width = P[0].shape[-1]
-        while width > 1:
-            if width % 2:
-                P = _tree_map(
-                    lambda a: jnp.concatenate(
-                        [a, jnp.zeros_like(a[..., :1])], axis=-1), P)
-                # Z pad lane is 0 -> infinity; X/Y zeros are harmless
-                width += 1
-            h = width // 2
-            P = ck.add(_tree_map(lambda a: a[..., :h], P),
-                       _tree_map(lambda a: a[..., h:], P))
-            width = h
-        return P
+        if width == 1:
+            return P
+        from .pallas_ec import ec_pallas_ok
+        if ec_pallas_ok(self.fk):
+            while width > 1:
+                if width % 2:
+                    P = _tree_map(
+                        lambda a: jnp.concatenate(
+                            [a, jnp.zeros_like(a[..., :1])], axis=-1), P)
+                    # Z pad lane is 0 -> infinity; X/Y zeros are harmless
+                    width += 1
+                h = width // 2
+                P = ck.add(_tree_map(lambda a: a[..., :h], P),
+                           _tree_map(lambda a: a[..., h:], P))
+                width = h
+            return P
+        # lean path: pad to a power of two (pad lanes Z=0 = infinity)
+        W = 1 << max(0, (width - 1).bit_length())
+        if W != width:
+            P = _tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros_like(a[..., :1]).repeat(W - width, -1)],
+                    axis=-1), P)
+
+        def body(k, T):
+            # fold the upper half onto the lower: shift = W >> (k+1)
+            return ck.add(T, self._shifted(T, W, W >> (k + 1)))
+
+        out = jax.lax.fori_loop(0, W.bit_length() - 1, body, P)
+        return _tree_map(lambda a: a[..., 0:1], out)
 
     def window_sums_dense(self, points_aff, scalars, c: int,
                           rounds_pad: int = None):

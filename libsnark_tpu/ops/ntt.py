@@ -155,6 +155,10 @@ class Radix2Domain:
                 "coset_inv": jnp.asarray(
                     self._powers_table(self.generator_inv)),
             }
+            if 1 <= self.logm and self.m <= self.LEAN_MAX:
+                for kind in ("fwd", "inv"):
+                    self._dt["lean_" + kind] = tuple(
+                        jnp.asarray(t) for t in self._lean(kind))
             if _mxu_enabled():
                 for kind in ("fwd", "inv", "coset", "icoset",
                              "icoset_divz"):
@@ -168,6 +172,62 @@ class Radix2Domain:
             pw[i] = pw[i - 1] * g % self.p
         return ints_to_limbs([v * self.params.R % self.p for v in pw],
                              self.fk.N)
+
+    # ----------------------------------------------------------- lean core
+    # Compile-lean NTT for small m: all log2(m) stages share ONE
+    # gather+mul+add call site inside a fori_loop, driven by
+    # host-precomputed flat index/twiddle tables (the "minus" butterfly
+    # halves bake the negation into the twiddle). The classic per-stage
+    # python loop re-traces mul/add/sub with a different shape per
+    # stage -- ~18 call sites per transform, the dominant cold-compile
+    # cost of every witness-map program on a 1-core host. Tables are
+    # (logm, m), so this is gated to m <= LEAN_MAX (3 MB at 2^12).
+    LEAN_MAX = 1 << 12
+
+    def _lean_tables(self, w):
+        """(A, B, T): out = in[A[s]] + T[s] * in[B[s]] per stage s."""
+        m, logm, p = self.m, self.logm, self.p
+        A = np.zeros((logm, m), dtype=np.int32)
+        B = np.zeros((logm, m), dtype=np.int32)
+        T = np.zeros((logm, m), dtype=object)
+        i = np.arange(m)
+        for s in range(1, logm + 1):
+            half = 1 << (s - 1)
+            ws = pow(w, m >> s, p)
+            tw = [pow(ws, j, p) for j in range(half)]
+            r = i % (2 * half)
+            lower = r < half
+            A[s - 1] = np.where(lower, i, i - half)
+            B[s - 1] = np.where(lower, i + half, i)
+            for idx in range(m):
+                t = tw[r[idx] % half]
+                T[s - 1, idx] = t if lower[idx] else (p - t) % p
+        Tl = ints_to_limbs([int(v) * self.params.R % p
+                            for v in T.reshape(-1)], self.fk.N)
+        return A, B, Tl.reshape(self.fk.N, logm, m)
+
+    def _lean(self, kind: str):
+        key = "_lean_" + kind
+        if getattr(self, key, None) is None:
+            setattr(self, key, self._lean_tables(
+                self.omega if kind == "fwd" else self.omega_inv))
+        return getattr(self, key)
+
+    def _fft_core_lean(self, a, tables, perm=None):
+        fk = self.fk
+        A, B, T = tables
+        A, B, T = jnp.asarray(A), jnp.asarray(B), jnp.asarray(T)
+        a = a[..., jnp.asarray(self._perm) if perm is None else perm]
+
+        def body(s, x):
+            u = jnp.take(x, jnp.take(A, s, axis=0), axis=-1)
+            v = jnp.take(x, jnp.take(B, s, axis=0), axis=-1)
+            tw = jax.lax.dynamic_index_in_dim(T, s, axis=1,
+                                              keepdims=False)
+            tw = tw.reshape((fk.N,) + (1,) * (x.ndim - 2) + (self.m,))
+            return fk.add(u, fk.mul(v, jnp.broadcast_to(tw, x.shape)))
+
+        return jax.lax.fori_loop(0, self.logm, body, a)
 
     # ------------------------------------------------------------------ core
     def _fft_core(self, a, tables, perm=None):
@@ -205,6 +265,10 @@ class Radix2Domain:
         """Evaluate: coefficients -> values on the domain (natural order)."""
         if _mxu_enabled():
             return self.fft_mxu(a, dt.get("mxu_fwd") if dt else None)
+        if 1 <= self.logm and self.m <= self.LEAN_MAX:
+            return self._fft_core_lean(
+                a, dt["lean_fwd"] if dt else self._lean("fwd"),
+                dt["perm"] if dt else None)
         if dt is not None:
             return self._fft_core(a, dt["tw"], dt["perm"])
         return self._fft_core(a, self._tw)
@@ -213,8 +277,13 @@ class Radix2Domain:
         """Interpolate: values -> coefficients, scaled by 1/m."""
         if _mxu_enabled():
             return self.ifft_mxu(a, dt.get("mxu_inv") if dt else None)
-        out = (self._fft_core(a, dt["tw_inv"], dt["perm"])
-               if dt is not None else self._fft_core(a, self._tw_inv))
+        if 1 <= self.logm and self.m <= self.LEAN_MAX:
+            out = self._fft_core_lean(
+                a, dt["lean_inv"] if dt else self._lean("inv"),
+                dt["perm"] if dt else None)
+        else:
+            out = (self._fft_core(a, dt["tw_inv"], dt["perm"])
+                   if dt is not None else self._fft_core(a, self._tw_inv))
         return self.fk.mul_small(out, self.m_inv)
 
     # ------------------------------------------------------------- coset forms

@@ -60,6 +60,16 @@ def sharded_msm(msm_kernel, mesh: Mesh, axis: str, points_aff, scalars,
 _SHARDED_CACHE = {}
 
 
+def _gather_tree_add(msm_kernel, axis: str, S):
+    """all_gather per-device partial sums (each (.., K, 1)) over `axis`
+    and reduce across devices with the kernel's log-depth point tree
+    (ONE add call site -- the unrolled D-1 add chain cost ~2 s of cold
+    compile per extra device). Returns (.., K, 1)."""
+    G = tuple(jax.lax.all_gather(a, axis) for a in S)   # (D, .., K, 1)
+    lanes = tuple(jnp.moveaxis(g, 0, -1)[..., 0, :] for g in G)  # (.., K, D)
+    return msm_kernel._tree_reduce_points(lanes)
+
+
 def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
                       scalars, c: int, method: str = "pippenger"):
     ck = msm_kernel.ck
@@ -80,11 +90,7 @@ def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
         def local_simple(pts, sc):
             S = msm_kernel.msm_simple(pts, sc)       # batch (1,)
             S = tuple(a[..., None, :] for a in S)    # (.., 1, 1)
-            G = tuple(jax.lax.all_gather(a, axis) for a in S)
-            D = G[0].shape[0]
-            acc = tuple(a[0] for a in G)
-            for d in range(1, D):
-                acc = ck.add(acc, tuple(a[d] for a in G))
+            acc = _gather_tree_add(msm_kernel, axis, S)
             return tuple(jnp.moveaxis(a, -2, 0) for a in acc)
 
         try:
@@ -104,17 +110,7 @@ def _sharded_msm_impl(msm_kernel, mesh: Mesh, axis: str, points_aff,
         # kernels expect limbs leading / batch trailing: move the window
         # axis into the batch position for the cross-device adds
         S = tuple(jnp.moveaxis(a, 0, -2) for a in S)   # (.., W, 1)
-        # gather per-device window sums and tree-add locally
-        def gath(a):
-            return jax.lax.all_gather(a, axis)      # (D, .., W, 1)
-        G = tuple(gath(a) for a in S)
-        D = G[0].shape[0]
-        acc = tuple(a[0] for a in G)
-        d = 1
-        while d < D:
-            other = tuple(a[d] for a in G)
-            acc = ck.add(acc, other)
-            d += 1
+        acc = _gather_tree_add(msm_kernel, axis, S)
         # back to window-leading for the Horner combine
         return tuple(jnp.moveaxis(a, -2, 0) for a in acc)
 

@@ -84,29 +84,33 @@ class FourStepDomain:
     def _four_step(self, a, fwd: bool):
         fk = self.fk
         N, n1, n2 = fk.N, self.n1, self.n2
+        lead = a.shape[1:-1]        # extra batch dims between limbs and m
+        nl = len(lead)
         # domains smaller than the mesh (n1 or n2 not divisible by D)
         # fall back to replicated compute on the affected steps -- the
         # transform is still correct, just not distributed
         D = self.mesh.shape[self.axis]
-        shard_n2 = (P(None, None, self.axis) if n2 % D == 0 else P())
-        shard_n1 = (P(None, self.axis, None) if n1 % D == 0 else P())
-        A = a.reshape((N, n1, n2))
+        pre = (None,) * (1 + nl)
+        shard_n2 = (P(*pre, None, self.axis) if n2 % D == 0 else P())
+        shard_n1 = (P(*pre, self.axis, None) if n1 % D == 0 else P())
+        A = a.reshape((N,) + lead + (n1, n2))
         A = self._constraint(A, shard_n2)
-        # step 1: length-n1 NTTs along axis 1 (local under n2 sharding)
-        A = (self._fft_along(self.dom1, A, 1) if fwd
-             else self._ifft_along(self.dom1, A, 1))
+        # step 1: length-n1 NTTs along axis -2 (local under n2 sharding)
+        A = (self._fft_along(self.dom1, A, -2) if fwd
+             else self._ifft_along(self.dom1, A, -2))
         # step 2: twiddle (local)
         tw = jnp.asarray(self._tw if fwd else self._tw_inv)
-        A = fk.mul(A, tw)
+        tw = tw.reshape((N,) + (1,) * nl + (n1, n2))
+        A = fk.mul(A, jnp.broadcast_to(tw, A.shape))
         A = self._constraint(A, shard_n2)
-        # step 3: reshard (the all-to-all) then length-n2 NTTs along axis 2
+        # step 3: reshard (the all-to-all) then length-n2 NTTs along axis -1
         A = self._constraint(A, shard_n1)
-        A = (self._fft_along(self.dom2, A, 2) if fwd
-             else self._ifft_along(self.dom2, A, 2))
+        A = (self._fft_along(self.dom2, A, -1) if fwd
+             else self._ifft_along(self.dom2, A, -1))
         # step 4: transpose to natural order k = k2*n1 + k1
-        out = jnp.swapaxes(A, 1, 2).reshape((N, self.m))
+        out = jnp.swapaxes(A, -2, -1).reshape((N,) + lead + (self.m,))
         return self._constraint(
-            out, P(None, self.axis) if self.m % D == 0 else P())
+            out, P(*pre, self.axis) if self.m % D == 0 else P())
 
     def fft(self, a, dt=None):
         return self._four_step(a, fwd=True)
@@ -124,7 +128,8 @@ class FourStepDomain:
             pw[i] = pw[i - 1] * g % self.p
         tbl = jnp.asarray(ints_to_limbs(
             [v * self.params.R % self.p for v in pw], fk.N))
-        return fk.mul(a, tbl)
+        tbl = tbl.reshape((fk.N,) + (1,) * (a.ndim - 2) + (self.m,))
+        return fk.mul(a, jnp.broadcast_to(tbl, a.shape))
 
     def coset_fft(self, a, g: int = None, dt=None):
         g = self.generator if g is None else g

@@ -103,6 +103,12 @@ class Groth16(PairingSystem):
     executables; pad lanes are infinity points / zero scalars.
     """
 
+    # force_pow_2 mirrors the reference's force_pow_2_domain option
+    # (r1cs_gg_ppzksnark.hpp:386): generator/prover/prover_sharded must
+    # agree on it (the sharded four-step witness map needs a pow-2
+    # domain, so set it True before keygen when proving sharded).
+    force_pow_2 = False
+
     # legacy aliases (base class provides the public names)
     def _fixed_base_g1(self, base_host, scalars, c=8):
         return self.fixed_base_g1(base_host, scalars, c)
@@ -121,7 +127,8 @@ class Groth16(PairingSystem):
     def generator_from_secrets(self, cs, t, alpha, beta, gamma, delta):
         curve, r = self.curve, self.curve.r
         cs.swap_AB_if_beneficial()
-        domain = qap_domain(self.fr, curve.fr_params, cs)
+        domain = qap_domain(self.fr, curve.fr_params, cs,
+                            self.force_pow_2)
         qap = qap_instance_map_with_evaluation(cs, domain, t)
         m, nv, k = qap.degree, qap.num_variables, qap.num_inputs
 
@@ -167,7 +174,8 @@ class Groth16(PairingSystem):
 
         cs = pk.cs
         dev = pk.r1cs_dev
-        domain = qap_domain(self.fr, curve.fr_params, cs)
+        domain = qap_domain(self.fr, curve.fr_params, cs,
+                            self.force_pow_2)
         full = [1] + [v % r for v in primary] + [v % r for v in auxiliary]
         assignment_mont = jnp.asarray(self.fr.encode(full))
 
@@ -238,7 +246,12 @@ class Groth16(PairingSystem):
 
         cs, dev = pk.cs, pk.r1cs_dev
         D = mesh.devices.size
-        m = get_domain_size(cs.num_constraints + cs.num_inputs + 1)
+        base = qap_domain(self.fr, curve.fr_params, cs, self.force_pow_2)
+        if base.m & (base.m - 1):
+            raise ValueError(
+                "prover_sharded needs a power-of-2 domain (the four-step "
+                "factorization): set force_pow_2=True before keygen")
+        m = base.m
         domain = FourStepDomain(self.fr, curve.fr_params,
                                 m.bit_length() - 1, mesh, axis)
         full = [1] + [v % r for v in primary] + [v % r for v in auxiliary]

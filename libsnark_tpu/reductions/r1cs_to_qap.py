@@ -23,11 +23,17 @@ from typing import List
 import jax.numpy as jnp
 
 from ..ops.ntt import Radix2Domain, get_domain_size
+from ..ops.domains import get_evaluation_domain
 
 
-def qap_domain(fr_kernel, fr_params, cs):
-    m = get_domain_size(cs.num_constraints + cs.num_inputs + 1)
-    return Radix2Domain(fr_kernel, fr_params, m.bit_length() - 1)
+def qap_domain(fr_kernel, fr_params, cs, force_pow_2: bool = False):
+    """Select the evaluation domain for min_size = n + k + 1 via the
+    libfqfft-parity chooser (basic/extended/step radix-2); force_pow_2
+    mirrors the reference's force_pow_2_domain option
+    (r1cs_gg_ppzksnark.hpp:386)."""
+    return get_evaluation_domain(
+        fr_kernel, fr_params, cs.num_constraints + cs.num_inputs + 1,
+        force_pow_2)
 
 
 @dataclasses.dataclass
@@ -92,20 +98,17 @@ def qap_witness_map(r1cs_dev, domain, assignment_mont, dev_arrs=None,
 
     aA = r1cs_dev.A.evaluate(fk, assignment_mont, m, da.get("A"))
     aB = r1cs_dev.B.evaluate(fk, assignment_mont, m, da.get("B"))
+    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m, da.get("C"))
     # input consistency rows: aA[n + i] = s_i for i = 0..k
     aA = jnp.concatenate(
         [aA[..., :n], assignment_mont[..., :k + 1], aA[..., n + k + 1:]],
         axis=-1)
 
-    cA = domain.ifft(aA, dt)
-    cB = domain.ifft(aB, dt)
-    eA = domain.coset_fft(cA, dt=dt)
-    eB = domain.coset_fft(cB, dt=dt)
-    H = fk.mul(eA, eB)
-
-    aC = r1cs_dev.C.evaluate(fk, assignment_mont, m, da.get("C"))
-    eC = domain.coset_fft(domain.ifft(aC, dt), dt=dt)
-    H = fk.sub(H, eC)
+    # A/B/C ride ONE stacked transform (compile-lean: one ifft + one
+    # cosetFFT call site instead of three of each)
+    S = jnp.stack([aA, aB, aC], axis=-2)          # (N, 3, m)
+    eS = domain.coset_fft(domain.ifft(S, dt), dt=dt)
+    H = fk.sub(fk.mul(eS[..., 0, :], eS[..., 1, :]), eS[..., 2, :])
     return domain.icoset_fft_divz(H, dt=dt)
 
 
