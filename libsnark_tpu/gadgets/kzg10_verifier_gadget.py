@@ -1,16 +1,26 @@
 """In-circuit KZG10 evaluation verifier (reference gadgetlib1/gadgets/
-verifiers/kzg10_verifier_gadget.hpp:63 -- a Clearmatics addition).
+verifiers/kzg10_verifier_gadget.hpp:63-135 -- a Clearmatics addition).
 
 Verifies, inside a circuit over Fq(BLS12-377) = Fr(BW6-761), that a
 KZG10 witness W proves phi(z) = v for a committed polynomial C:
 
     e(C - [v]_1, [1]_2) = e(W, [alpha - z]_2)
 
-C, W are G1 variables; z, v are field variables; [alpha]_2 and the
-generators are constants. [v]_1 and z*[1]_2 are variable-scalar
-multiplications of constant bases (bit-decomposed double-and-add);
-the right-hand pairing has a VARIABLE G2 operand, handled by the fully
-symbolic Miller loop.
+C, W are G1 variables; z, v are given as bit arrays. [v]_1 and [z]_2
+are computed with the variable_or_identity mul_by_scalar gadgets
+(curve_scalar_mul.py), so v = 0 / z = 0 no longer hit unsatisfiable
+slope constraints (round-2's fixed-offset workaround is gone). Matching
+the reference's semantics exactly (hpp:110-119), the gadget exposes a
+boolean `result` variable:
+
+    result = (1 - [v]_1.is_identity) * (1 - [z]_2.is_identity)
+             * (pairing product == 1)
+
+i.e. zero scalars are handled but conservatively REJECTED (result = 0),
+as in the reference ("TODO: ... does not currently support i or
+poly_eval being zero" -- the flags gate the output rather than breaking
+satisfiability). `assert_accept()` adds the result == 1 constraint for
+callers that want the round-2 hard-assert behavior.
 """
 from __future__ import annotations
 
@@ -18,10 +28,11 @@ from .protoboard import Gadget, Protoboard, PBVariable, PBVariableArray
 from .basic import PackingGadget
 from .fields_gadgets import _lc
 from .pairing_gadgets import G1Gadgets, G2Gadgets, PairingGadgets
+from .curve_scalar_mul import G1Ops, G2Ops, ScalarMulGadgets
 
 
 class KZG10VerifierGadget:
-    """Constrains acceptance of (commitment, z, v, witness)."""
+    """Constrains `result` = acceptance of (commitment, z, v, witness)."""
 
     def __init__(self, pb: Protoboard, inner_curve, srs_alpha_g2,
                  commitment, witness, z_bits, v_bits, prefix="kzg10v"):
@@ -34,42 +45,106 @@ class KZG10VerifierGadget:
         self.g1 = G1Gadgets(pb, prefix + ".g1")
         self.g2 = G2Gadgets(self.pg.fp2, prefix + ".g2")
         pg, g1, g2 = self.pg, self.g1, self.g2
+        g1ops = G1Ops(g1, inner_curve)
+        g2ops = G2Ops(g2, inner_curve)
+        sm1 = ScalarMulGadgets(g1ops)
+        sm2 = ScalarMulGadgets(g2ops)
 
-        # [v]_1 = sum v_bits[j] 2^j G1 (constant-table double-and-add).
-        # A fixed offset point R keeps every addition non-exceptional
-        # (R never coincides with partial sums of 2^j G1 for nonzero v);
-        # v = 0 / z = 0 are exceptional and excluded (the reference
-        # curve gadgets carry the same non-degeneracy assumption).
+        # [v]_1, [z]_2 as variable_or_identity scalar multiples
         G1_one = inner_curve.G1.one()
-        R_off = G1_one * 0xD15EA5EDC0FFEE
-        acc = g1.const(R_off)
-        T = G1_one
-        for b in v_bits:
-            acc = g1.conditional_add_const(acc, b, T)
-            T = T + T
-        v_g1 = g1.add(acc, g1.const(-R_off))    # remove offset
-
-        # [z]_2 similarly over G2
         G2_one = inner_curve.G2.one()
-        R2_off = G2_one * 0xFACEFEEDBEEF
-        acc2 = g2.const(R2_off)
-        T2 = G2_one
-        for b in z_bits:
-            acc2 = g2.conditional_add_const(acc2, b, T2)
-            T2 = T2 + T2
-        z_g2 = g2.add(acc2, g2.const(-R2_off))
+        v_g1 = sm1.mul_by_scalar(v_bits, g1ops.const(G1_one),
+                                 prefix + ".vmul")
+        z_g2 = sm2.mul_by_scalar(z_bits, g2ops.const(G2_one),
+                                 prefix + ".zmul")
 
-        # A1 = C - [v]_1 ; S = [alpha]_2 - [z]_2
-        A1 = g1.add(commitment, g1.neg(v_g1))
-        S = g2.add(g2.const(srs_alpha_g2), g2.neg(z_g2))
+        # A1 = C - [v]_1 (identity-aware: v = 0 -> A1 = C)
+        A1 = sm1.add_vi_and_var(_neg_vi(g1, v_g1), commitment,
+                                prefix + ".a1")
+        # S = [alpha]_2 - [z]_2 (identity-aware)
+        S = sm2.add_vi_and_var(_neg_vi_g2(g2, z_g2),
+                               g2ops.const(srs_alpha_g2), prefix + ".s")
 
-        # e(A1, -[1]_2) * e(W, S) == 1
+        # pairing product e(A1, -[1]_2) * e(W, S)
         f12 = pg.fp12
         f = pg.miller_loop_const_q(-G2_one, pg.embed_g1(A1))
         f = f12.mul(f, pg.miller_loop(pg.embed_g2(S), pg.embed_g1(witness)))
         out = pg.final_exp(f)
-        f12.assert_eq(out, f12.one(), "kzg10_check")
+
+        # soft equality out == 1 -> pairing_ok flag
+        pairing_ok = self._soft_eq_one(out, prefix)
+
+        # result = (1 - v_id)(1 - z_id) * pairing_ok (reference
+        # group_elements_non_zero gating, kzg10_verifier_gadget.hpp:110-119)
+        nz = PBVariable().allocate(pb, prefix + ".nonzero")
+        pb.add_r1cs_constraint(1 - v_g1.is_id, 1 - z_g2.is_id, nz,
+                               prefix + "_nonzero")
+        res = PBVariable().allocate(pb, prefix + ".result")
+        pb.add_r1cs_constraint(nz, pairing_ok, res, prefix + "_result")
+
+        def wit(v_id=v_g1.is_id, z_id=z_g2.is_id, ok=pairing_ok,
+                nz=nz, res=res):
+            p = pb.p
+            nzv = (1 - pb.lc_val(v_id)) * (1 - pb.lc_val(z_id)) % p
+            pb.setval(nz, nzv)
+            pb.setval(res, nzv * pb.lc_val(_lc(ok)) % p)
+        pg.fp2._wq.append(wit)
+        self.result = _lc(res)
+
+    # -- soft Fq12 == 1 --------------------------------------------------------
+    def _soft_eq_one(self, f, prefix):
+        """Boolean flag: 1 iff every tower coordinate of f - 1 is zero.
+        Per coordinate d: nz*1 = d*inv and d*(1-nz) = 0 pin nz = (d != 0);
+        the flag is (sum nz == 0) via the same trick."""
+        pb = self.pb
+        one = self.pg.fp12.one()
+        coords = []
+        for h in range(2):
+            for j in range(3):
+                for c in range(2):
+                    coords.append(f[h][j][c] - one[h][j][c])
+        total = None
+        for k, d in enumerate(coords):
+            inv = PBVariable().allocate(pb, f"{prefix}.eq_inv{k}")
+            nz = PBVariable().allocate(pb, f"{prefix}.eq_nz{k}")
+            pb.add_r1cs_constraint(d, inv, nz, f"{prefix}_eqa{k}")
+            pb.add_r1cs_constraint(d, 1 - _lc(nz), 0, f"{prefix}_eqb{k}")
+
+            def wit(d=d, inv=inv, nz=nz):
+                p = pb.p
+                dv = pb.lc_val(d)
+                pb.setval(inv, pow(dv, -1, p) if dv else 0)
+                pb.setval(nz, 1 if dv else 0)
+            self.pg.fp2._wq.append(wit)
+            total = _lc(nz) if total is None else total + nz
+        # all-zero flag: ok = (total == 0)
+        tinv = PBVariable().allocate(pb, prefix + ".eq_tinv")
+        tnz = PBVariable().allocate(pb, prefix + ".eq_tnz")
+        pb.add_r1cs_constraint(total, tinv, tnz, prefix + "_eqta")
+        pb.add_r1cs_constraint(total, 1 - _lc(tnz), 0, prefix + "_eqtb")
+
+        def wit_t(total=total, tinv=tinv, tnz=tnz):
+            p = pb.p
+            tv = pb.lc_val(total)
+            pb.setval(tinv, pow(tv, -1, p) if tv else 0)
+            pb.setval(tnz, 1 if tv else 0)
+        self.pg.fp2._wq.append(wit_t)
+        return 1 - _lc(tnz)
+
+    def assert_accept(self):
+        """Hard-constrain acceptance (result == 1)."""
+        self.pb.add_r1cs_constraint(1, self.result, 1, "kzg10_accept")
 
     def generate_witness(self):
         self.g1.generate_witness()
         self.pg.generate_witness()
+
+
+def _neg_vi(g1, vi):
+    from .curve_scalar_mul import VarOrIdentity
+    return VarOrIdentity(g1.neg(vi.pt), vi.is_id)
+
+
+def _neg_vi_g2(g2, vi):
+    from .curve_scalar_mul import VarOrIdentity
+    return VarOrIdentity(g2.neg(vi.pt), vi.is_id)

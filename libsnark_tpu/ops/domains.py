@@ -230,6 +230,15 @@ class TwoPartDomain:
     def icoset_fft_divz(self, a, dt=None):
         return self.icoset_fft(self.divide_by_z_on_coset(a, dt), dt=dt)
 
+    def z_sparse(self):
+        """Z = (x^n1 - 1)(x^n2 - c2) as sparse (index, coeff) pairs."""
+        p = self.p
+        if self.n1 == self.n2:
+            return [(self.m, 1), (self.n1, (-(1 + self.c2)) % p),
+                    (0, self.c2 % p)]
+        return [(self.m, 1), (self.n1, (-self.c2) % p),
+                (self.n2, p - 1), (0, self.c2 % p)]
+
     def add_poly_z(self, coeff: int, H):
         """H += coeff * Z(x), Z = (x^n1 - 1)(x^n2 - c2)
         = x^m - c2*x^n1 - x^n2 + c2 (n1 > n2) or
@@ -298,6 +307,22 @@ class TwoPartDomain:
         for j in range(n2):
             out.append(s2 * ys[j] % p * invs[n1 + j] % p)
         return out
+
+
+def add_scaled_z(fk, domain, out, coeff_m):
+    """out += coeff * Z(x) for a DEVICE scalar coeff_m ((N, 1) Montgomery
+    limbs); Z taken sparse from the domain (x^m - 1 only on the basic
+    radix-2 domain). Shared by the ZK-patched QAP/SAP/SSP witness maps."""
+    import jax.numpy as jnp
+    for idx, c in domain.z_sparse():
+        if c == 1:
+            term = coeff_m
+        else:
+            enc = jnp.asarray(fk.encode_scalar(c)).reshape(
+                (fk.N,) + (1,) * (coeff_m.ndim - 1))
+            term = fk.mul(coeff_m, jnp.broadcast_to(enc, coeff_m.shape))
+        out = out.at[..., idx].set(fk.add(out[..., idx], term[..., 0]))
+    return out
 
 
 @functools.lru_cache(maxsize=None)

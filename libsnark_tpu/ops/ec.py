@@ -58,40 +58,46 @@ class CurveKernel:
     # kernels (ops/pallas_ec.py): one launch per group op instead of
     # ~100 tiny XLA ops (launch overhead dominates at MSM batch sizes).
 
+    # Schedules below group independent field products into stacked
+    # single-call-site muls (fk.stack/unstack): XLA's HLO-pass cost
+    # scales with call-site count, and the group law's product graph is
+    # 3-6 wide -- the stacked forms cold-compile ~4x faster with
+    # identical math (dbl-2009-l / dbl-2007-bl / add-2007-bl /
+    # madd-2007-bl, unchanged).
+
     def dbl(self, P):
         """Jacobian doubling. a=0: dbl-2009-l; generic a: dbl-2007-bl
         with M = 3*XX + a*ZZ^2. Uniform: handles Z=0."""
         from .pallas_ec import ec_pallas_ok, dbl as _pdbl
+        fk = self.fk
         if self.mul_by_a is not None:
-            fk = self.fk
             X, Y, Z = P
-            XX = fk.sqr(X)
-            YY = fk.sqr(Y)
-            YYYY = fk.sqr(YY)
-            ZZ = fk.sqr(Z)
-            S = fk.double(fk.sub(fk.sub(fk.sqr(fk.add(X, YY)), XX), YYYY))
-            M = fk.add(fk.add(fk.add(XX, XX), XX),
-                       self.mul_by_a(fk.sqr(ZZ)))
+            s1 = fk.stack([X, Y, Z])
+            XX, YY, ZZ = fk.unstack(fk.mul(s1, s1))
+            s2 = fk.stack([YY, fk.add(X, YY), ZZ, fk.add(Y, Z)])
+            YYYY, t, ZZ2, w = fk.unstack(fk.mul(s2, s2))
+            S = fk.double(fk.sub(fk.sub(t, XX), YYYY))
+            M = fk.add(fk.add(fk.add(XX, XX), XX), self.mul_by_a(ZZ2))
             X3 = fk.sub(fk.sqr(M), fk.double(S))
             Y3 = fk.sub(fk.mul(M, fk.sub(S, X3)),
                         fk.double(fk.double(fk.double(YYYY))))
-            Z3 = fk.sub(fk.sub(fk.sqr(fk.add(Y, Z)), YY), ZZ)
+            Z3 = fk.sub(fk.sub(w, YY), ZZ)
             return (X3, Y3, Z3)
         if ec_pallas_ok(self.fk):
             return _pdbl(self.fk, P)
-        fk = self.fk
         X, Y, Z = P
-        A = fk.sqr(X)
-        B = fk.sqr(Y)
-        C = fk.sqr(B)
-        t = fk.sqr(fk.add(X, B))
+        r1 = fk.mul(fk.stack([X, Y, Y]), fk.stack([X, Y, Z]))
+        A, B, YZ = fk.unstack(r1)
+        XB = fk.add(X, B)
+        r2 = fk.mul(fk.stack([B, XB]), fk.stack([B, XB]))
+        C, t = fk.unstack(r2)
         D = fk.double(fk.sub(fk.sub(t, A), C))
         E = fk.add(fk.add(A, A), A)
         F = fk.sqr(E)
         X3 = fk.sub(F, fk.double(D))
         eight_c = fk.double(fk.double(fk.double(C)))
         Y3 = fk.sub(fk.mul(E, fk.sub(D, X3)), eight_c)
-        Z3 = fk.double(fk.mul(Y, Z))
+        Z3 = fk.double(YZ)
         return (X3, Y3, Z3)
 
     def dbl_n(self, P, n: int):
@@ -109,21 +115,25 @@ class CurveKernel:
         fk = self.fk
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
-        Z1Z1 = fk.sqr(Z1)
-        Z2Z2 = fk.sqr(Z2)
-        U1 = fk.mul(X1, Z2Z2)
-        U2 = fk.mul(X2, Z1Z1)
-        S1 = fk.mul(fk.mul(Y1, Z2), Z2Z2)
-        S2 = fk.mul(fk.mul(Y2, Z1), Z1Z1)
+        r1 = fk.mul(fk.stack([Z1, Z2, Y1, Y2]),
+                    fk.stack([Z1, Z2, Z2, Z1]))
+        Z1Z1, Z2Z2, Y1Z2, Y2Z1 = fk.unstack(r1)
+        r2 = fk.mul(fk.stack([X1, X2, Y1Z2, Y2Z1]),
+                    fk.stack([Z2Z2, Z1Z1, Z2Z2, Z1Z1]))
+        U1, U2, S1, S2 = fk.unstack(r2)
         H = fk.sub(U2, U1)
-        I = fk.sqr(fk.double(H))
-        J = fk.mul(H, I)
+        H2 = fk.double(H)
         rr = fk.double(fk.sub(S2, S1))
-        V = fk.mul(U1, I)
-        X3 = fk.sub(fk.sub(fk.sqr(rr), J), fk.double(V))
-        Y3 = fk.sub(fk.mul(rr, fk.sub(V, X3)),
-                    fk.double(fk.mul(S1, J)))
-        Z3 = fk.mul(fk.sub(fk.sub(fk.sqr(fk.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+        Zs = fk.add(Z1, Z2)
+        r3 = fk.mul(fk.stack([H2, rr, Zs]), fk.stack([H2, rr, Zs]))
+        I, rr2, w = fk.unstack(r3)
+        r4 = fk.mul(fk.stack([H, U1]), fk.stack([I, I]))
+        J, V = fk.unstack(r4)
+        X3 = fk.sub(fk.sub(rr2, J), fk.double(V))
+        r5 = fk.mul(fk.stack([rr, S1, fk.sub(fk.sub(w, Z1Z1), Z2Z2)]),
+                    fk.stack([fk.sub(V, X3), J, H]))
+        m1, m2, Z3 = fk.unstack(r5)
+        Y3 = fk.sub(m1, fk.double(m2))
         return self._fixup_add(P, Q, (X3, Y3, Z3), H, rr)
 
     def _fixup_add(self, P, Q, R, H, rr):
@@ -158,19 +168,23 @@ class CurveKernel:
             X2, Y2, q_inf = Q_aff
         else:
             (X2, Y2), q_inf = Q_aff, None
-        Z1Z1 = fk.sqr(Z1)
-        U2 = fk.mul(X2, Z1Z1)
-        S2 = fk.mul(fk.mul(Y2, Z1), Z1Z1)
+        r1 = fk.mul(fk.stack([Z1, Y2]), fk.stack([Z1, Z1]))
+        Z1Z1, Y2Z1 = fk.unstack(r1)
+        r2 = fk.mul(fk.stack([X2, Y2Z1]), fk.stack([Z1Z1, Z1Z1]))
+        U2, S2 = fk.unstack(r2)
         H = fk.sub(U2, X1)
-        HH = fk.sqr(H)
-        I = fk.double(fk.double(HH))
-        J = fk.mul(H, I)
         rr = fk.double(fk.sub(S2, Y1))
-        V = fk.mul(X1, I)
-        X3 = fk.sub(fk.sub(fk.sqr(rr), J), fk.double(V))
-        Y3 = fk.sub(fk.mul(rr, fk.sub(V, X3)),
-                    fk.double(fk.mul(Y1, J)))
-        Z3 = fk.sub(fk.sub(fk.sqr(fk.add(Z1, H)), Z1Z1), HH)
+        r3 = fk.mul(fk.stack([H, rr]), fk.stack([H, rr]))
+        HH, rr2 = fk.unstack(r3)
+        I = fk.double(fk.double(HH))
+        ZH = fk.add(Z1, H)
+        r4 = fk.mul(fk.stack([H, X1, ZH]), fk.stack([I, I, ZH]))
+        J, V, w = fk.unstack(r4)
+        X3 = fk.sub(fk.sub(rr2, J), fk.double(V))
+        r5 = fk.mul(fk.stack([rr, Y1]), fk.stack([fk.sub(V, X3), J]))
+        m1, m2 = fk.unstack(r5)
+        Y3 = fk.sub(m1, fk.double(m2))
+        Z3 = fk.sub(fk.sub(w, Z1Z1), HH)
         out = (X3, Y3, Z3)
 
         p_inf = self.is_zero(P)

@@ -169,6 +169,20 @@ class FpKernel:
         """cond: batch-shaped bool; picks a where True."""
         return jnp.where(cond[None], a, b)
 
+    # -- call-site stacking ---------------------------------------------------
+    # Independent field ops fused into ONE traced call by stacking the
+    # operands on a fresh batch axis right behind the limb axis. XLA's
+    # HLO-pass cost scales with the number of op *call sites*, not lanes,
+    # so k stacked muls compile ~k-fold faster than k separate ones --
+    # the backbone of the compile-lean group-law schedules (ops/ec.py).
+    @staticmethod
+    def stack(xs):
+        return jnp.stack(xs, axis=1)
+
+    @staticmethod
+    def unstack(a):
+        return [a[:, i] for i in range(a.shape[1])]
+
     # -- multiplication ---------------------------------------------------------
     #
     # Graph-size note: both mul and _redc run their limb loop as a

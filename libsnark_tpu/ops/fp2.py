@@ -39,44 +39,78 @@ class Fp2Kernel:
                           self.fp.zeros(batch_shape)])
 
     def mul_by_nonresidue(self, a):
-        """a * beta in the base field ((N, *batch) shapes)."""
+        """a * beta in the base field ((N, *batch) shapes). Small |beta|
+        goes through an addition chain (a full modular multiply costs a
+        compile-time call site the VPU work never justifies)."""
         if self.beta_small == 1:
             out = a
+        elif self.beta_small <= 8:
+            # double-and-add on the constant: <= 3 adds for k <= 8
+            fp = self.fp
+            out = a
+            for bit in bin(self.beta_small)[3:]:
+                out = fp.double(out)
+                if bit == "1":
+                    out = fp.add(out, a)
         else:
             out = self.fp.mul_small(a, self.beta_small)
         return self.fp.neg(out) if self.beta_is_neg else out
 
     # -- arithmetic -----------------------------------------------------------
+    # Coefficient-pair ops run as ONE base-field call on the (2, N, ..)
+    # array with the coefficient axis moved behind the limbs (compile-
+    # lean: one call site, not two).
+    def _flat(self, a):
+        return jnp.moveaxis(a, 0, 1)        # (N, 2, *batch)
+
+    def _unflat(self, a):
+        return jnp.moveaxis(a, 1, 0)
+
     def add(self, a, b):
-        return jnp.stack([self.fp.add(a[0], b[0]), self.fp.add(a[1], b[1])])
+        return self._unflat(self.fp.add(self._flat(a), self._flat(b)))
 
     def sub(self, a, b):
-        return jnp.stack([self.fp.sub(a[0], b[0]), self.fp.sub(a[1], b[1])])
+        return self._unflat(self.fp.sub(self._flat(a), self._flat(b)))
 
     def neg(self, a):
-        return jnp.stack([self.fp.neg(a[0]), self.fp.neg(a[1])])
+        return self._unflat(self.fp.neg(self._flat(a)))
 
     def double(self, a):
         return self.add(a, a)
 
     def mul(self, a, b):
+        # Karatsuba with the three base-field products STACKED into one
+        # call site: v0 = a0 b0, v1 = a1 b1, t = (a0+a1)(b0+b1)
         fp = self.fp
-        v0 = fp.mul(a[0], b[0])
-        v1 = fp.mul(a[1], b[1])
+        sums = fp.add(fp.stack([a[0], b[0]]), fp.stack([a[1], b[1]]))
+        sa, sb = fp.unstack(sums)
+        prod = fp.mul(fp.stack([a[0], a[1], sa]),
+                      fp.stack([b[0], b[1], sb]))
+        v0, v1, t = fp.unstack(prod)
         c0 = fp.add(v0, self.mul_by_nonresidue(v1))
-        t = fp.mul(fp.add(a[0], a[1]), fp.add(b[0], b[1]))
-        c1 = fp.sub(fp.sub(t, v0), v1)
+        c1 = fp.sub(t, fp.add(v0, v1))
         return jnp.stack([c0, c1])
 
     def sqr(self, a):
         # complex squaring: c0 = (a0+a1)(a0+beta a1) - v - beta v ; c1 = 2v
         fp = self.fp
-        v = fp.mul(a[0], a[1])
         t0 = fp.add(a[0], a[1])
         t1 = fp.add(a[0], self.mul_by_nonresidue(a[1]))
-        c0 = fp.sub(fp.sub(fp.mul(t0, t1), v), self.mul_by_nonresidue(v))
+        prod = fp.mul(fp.stack([a[0], t0]), fp.stack([a[1], t1]))
+        v, u = fp.unstack(prod)
+        c0 = fp.sub(fp.sub(u, v), self.mul_by_nonresidue(v))
         c1 = fp.add(v, v)
         return jnp.stack([c0, c1])
+
+    # -- call-site stacking (stack axis sits behind the limb axis so the
+    # base-field kernels see it as batch) --------------------------------------
+    @staticmethod
+    def stack(xs):
+        return jnp.stack(xs, axis=2)
+
+    @staticmethod
+    def unstack(a):
+        return [a[:, :, i] for i in range(a.shape[2])]
 
     def mul_small(self, a, k: int):
         return jnp.stack([self.fp.mul_small(a[0], k),

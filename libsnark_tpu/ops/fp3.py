@@ -42,32 +42,50 @@ class Fp3Kernel:
     def mul_by_nonresidue(self, a):
         if self.beta_small == 1:
             out = a
+        elif self.beta_small <= 8:
+            # double-and-add on the constant: <= 3 adds for k <= 8
+            fp = self.fp
+            out = a
+            for bit in bin(self.beta_small)[3:]:
+                out = fp.double(out)
+                if bit == "1":
+                    out = fp.add(out, a)
         else:
             out = self.fp.mul_small(a, self.beta_small)
         return self.fp.neg(out) if self.beta_is_neg else out
 
     # -- arithmetic -----------------------------------------------------------
+    # Coefficient-triple ops run as ONE base-field call with the
+    # coefficient axis moved behind the limbs (compile-lean: one call
+    # site, not three). See ops/fp.py "call-site stacking".
+    def _flat(self, a):
+        return jnp.moveaxis(a, 0, 1)        # (N, 3, *batch)
+
+    def _unflat(self, a):
+        return jnp.moveaxis(a, 1, 0)
+
     def add(self, a, b):
-        return jnp.stack([self.fp.add(a[i], b[i]) for i in range(3)])
+        return self._unflat(self.fp.add(self._flat(a), self._flat(b)))
 
     def sub(self, a, b):
-        return jnp.stack([self.fp.sub(a[i], b[i]) for i in range(3)])
+        return self._unflat(self.fp.sub(self._flat(a), self._flat(b)))
 
     def neg(self, a):
-        return jnp.stack([self.fp.neg(a[i]) for i in range(3)])
+        return self._unflat(self.fp.neg(self._flat(a)))
 
     def double(self, a):
         return self.add(a, a)
 
     def mul(self, a, b):
-        # Karatsuba cubic (6 muls; libff Fp3_model::operator* shape)
+        # Karatsuba cubic (6 muls; libff Fp3_model::operator* shape),
+        # the six base-field products stacked into one call site
         fp = self.fp
-        v0 = fp.mul(a[0], b[0])
-        v1 = fp.mul(a[1], b[1])
-        v2 = fp.mul(a[2], b[2])
-        t12 = fp.mul(fp.add(a[1], a[2]), fp.add(b[1], b[2]))
-        t01 = fp.mul(fp.add(a[0], a[1]), fp.add(b[0], b[1]))
-        t02 = fp.mul(fp.add(a[0], a[2]), fp.add(b[0], b[2]))
+        sums = fp.add(fp.stack([a[1], a[0], a[0], b[1], b[0], b[0]]),
+                      fp.stack([a[2], a[1], a[2], b[2], b[1], b[2]]))
+        s12, s01, s02, u12, u01, u02 = fp.unstack(sums)
+        prod = fp.mul(fp.stack([a[0], a[1], a[2], s12, s01, s02]),
+                      fp.stack([b[0], b[1], b[2], u12, u01, u02]))
+        v0, v1, v2, t12, t01, t02 = fp.unstack(prod)
         c0 = fp.add(v0, self.mul_by_nonresidue(
             fp.sub(fp.sub(t12, v1), v2)))
         c1 = fp.add(fp.sub(fp.sub(t01, v0), v1),
@@ -77,6 +95,15 @@ class Fp3Kernel:
 
     def sqr(self, a):
         return self.mul(a, a)
+
+    # -- call-site stacking ----------------------------------------------------
+    @staticmethod
+    def stack(xs):
+        return jnp.stack(xs, axis=2)
+
+    @staticmethod
+    def unstack(a):
+        return [a[:, :, i] for i in range(a.shape[2])]
 
     def mul_small(self, a, k: int):
         return jnp.stack([self.fp.mul_small(a[i], k) for i in range(3)])

@@ -345,6 +345,11 @@ class Radix2Domain:
         zi = pow(self.vanishing_eval(g), -1, self.p)
         return self.fk.mul_small(a, zi)
 
+    def z_sparse(self):
+        """Vanishing polynomial as sparse (index, int_coeff) pairs:
+        Z = x^m - 1."""
+        return [(self.m, 1), (0, self.p - 1)]
+
     def add_poly_z(self, coeff: int, H):
         """H += coeff * Z(x) = coeff*(x^m - 1); H has m+1.. coefficients.
 

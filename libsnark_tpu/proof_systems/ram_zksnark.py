@@ -11,10 +11,11 @@ check-read at pc, data op = check-update). The message carries
 has_accepted); the verifier only sees the FINAL message and checks it
 against the boot trace (ram_zksnark.tcc verifier).
 
-This port keeps that structure but swaps the recursion backend: the
-reference recurses over the MNT4/MNT6 cycle (parameters live in the
-reference's empty libff submodule and cannot be re-derived -- see
-STATUS.md), so here the chain is BOUNDED and aggregated one level up:
+Three recursion backends exist here. RamZkSnarkCycle (below) is the
+reference-parity one: truly unbounded recursion over the re-derived
+MNT4/MNT6 cycle (curves/mnt.py). This first backend predates the cycle
+re-derivation and is kept as the BOUNDED single-level aggregation
+variant -- inner proofs aggregated one level up:
 
   * inner proofs: Groth16 over BLS12-377, one per step; the statement is
     a single field element h = KnapsackCRH(msg_in_bits || msg_out_bits)

@@ -147,7 +147,8 @@ def qap_witness_map_zk(r1cs_dev, domain, assignment_mont, d1_m, d2_m, d3_m):
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     d1d2 = fk.mul(d1_m, d2_m)                      # (N, 1)
-    c0 = fk.neg(fk.add(d3_m, d1d2))
-    out = out.at[..., 0].set(fk.add(out[..., 0], c0[..., 0]))
-    out = out.at[..., m].set(fk.add(out[..., m], d1d2[..., 0]))
-    return out
+    # += d1*d2 * Z(x) (sparse; Z is domain-shaped -- x^m - 1 only for
+    # the basic radix-2 domain) and -= d3 at the constant term
+    from ..ops.domains import add_scaled_z
+    out = out.at[..., 0].set(fk.sub(out[..., 0], d3_m[..., 0]))
+    return add_scaled_z(fk, domain, out, d1d2)

@@ -22,13 +22,17 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.ntt import Radix2Domain, get_domain_size
+from ..ops.domains import get_evaluation_domain, add_scaled_z
 from ..relations.r1cs import SparseMatrix
 from ..relations.arithmetic_programs import SAPInstanceEvaluation
 
 
-def sap_domain(fr_kernel, fr_params, cs):
-    m = get_domain_size(2 * cs.num_constraints + 2 * cs.num_inputs + 1)
-    return Radix2Domain(fr_kernel, fr_params, m.bit_length() - 1)
+def sap_domain(fr_kernel, fr_params, cs, force_pow_2: bool = False):
+    """libfqfft-parity domain for min_size = 2n + 2k + 1
+    (reference r1cs_to_sap.tcc domain selection)."""
+    return get_evaluation_domain(
+        fr_kernel, fr_params,
+        2 * cs.num_constraints + 2 * cs.num_inputs + 1, force_pow_2)
 
 
 def sap_num_variables(cs) -> int:
@@ -162,9 +166,7 @@ def sap_witness_map(dev: SAPDevice, domain, sap_assign_mont, d1_m, d2_m):
     Hc = domain.icoset_fft_divz(H)                  # (N, m)
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
-    # (- d2 - d1^2) at coeff 0;  + d1^2 at coeff m
+    # - d2 at coeff 0; += d1^2 * Z(x) (domain-shaped, sparse)
     d1sq = fk.mul(d1_m, d1_m)
-    c0 = fk.neg(fk.add(d2_m, d1sq))
-    out = out.at[..., 0].set(fk.add(out[..., 0], c0[..., 0]))
-    out = out.at[..., m].set(fk.add(out[..., m], d1sq[..., 0]))
-    return out
+    out = out.at[..., 0].set(fk.sub(out[..., 0], d2_m[..., 0]))
+    return add_scaled_z(fk, domain, out, d1sq)

@@ -14,13 +14,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.ntt import Radix2Domain, get_domain_size
+from ..ops.domains import get_evaluation_domain, add_scaled_z
 from ..relations.r1cs import SparseMatrix
 from ..relations.arithmetic_programs import SSPInstanceEvaluation
 
 
-def ssp_domain(fr_kernel, fr_params, cs):
-    m = get_domain_size(cs.num_constraints)
-    return Radix2Domain(fr_kernel, fr_params, m.bit_length() - 1)
+def ssp_domain(fr_kernel, fr_params, cs, force_pow_2: bool = False):
+    """libfqfft-parity domain for min_size = num_constraints
+    (reference uscs_to_ssp.tcc:37-38)."""
+    return get_evaluation_domain(fr_kernel, fr_params,
+                                 cs.num_constraints, force_pow_2)
 
 
 def _ssp_rows(cs, m):
@@ -86,6 +89,4 @@ def ssp_witness_map(dev: SSPDevice, domain, assignment_mont, d_m):
     out = jnp.concatenate(
         [fk.add(Hc, patch), fk.zeros(Hc.shape[1:-1] + (1,))], axis=-1)
     dsq = fk.mul(d_m, d_m)
-    out = out.at[..., 0].set(fk.add(out[..., 0], fk.neg(dsq)[..., 0]))
-    out = out.at[..., m].set(fk.add(out[..., m], dsq[..., 0]))
-    return out
+    return add_scaled_z(fk, domain, out, dsq)

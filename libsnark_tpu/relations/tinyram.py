@@ -375,6 +375,25 @@ def _execute_one_step(ap, ins, regs, flag, pc, mem, tapes, tape_pos, ts):
                      mem_op=mem_op)
 
 
+def load_preprocessed_program(ap: TinyRAMParams, text) -> TinyRAMProgram:
+    """Parse the reference's preprocessed-assembly format
+    (relations/.../tinyram_aux.cpp:312 load_preprocessed_program): one
+    instruction per whitespace-separated record
+    `opcode immflag des arg1 arg2`, with arg2 reduced mod 2^w. `text`
+    is a string or an open file."""
+    if hasattr(text, "read"):
+        text = text.read()
+    prog = TinyRAMProgram()
+    toks = text.split()
+    for i in range(0, len(toks) - 4, 5):
+        name, immflag, des, a1, a2 = toks[i:i + 5]
+        a2 = int(a2)
+        a2 = ((1 << ap.w) + (a2 % (1 << ap.w))) % (1 << ap.w)
+        prog.add(Opcode[name.upper()], int(immflag) != 0,
+                 int(des), int(a1), a2)
+    return prog
+
+
 def tinyram_boot_trace(ap: TinyRAMParams, program: TinyRAMProgram,
                        primary_input: List[int]):
     """Boot memory: program dwords at low addresses, then the primary
