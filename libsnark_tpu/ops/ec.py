@@ -146,10 +146,21 @@ class CurveKernel:
                                     jnp.logical_not(jnp.logical_or(p_inf, q_inf)))
         # default formula result (gives Z3=0 when H=0, i.e. infinity for P=-Q)
         out = R
-        out = self.select(is_double, self.dbl(P), out)
+        out = self._dbl_repair(is_double, P, out)
         out = self.select(q_inf, P, out)
         out = self.select(p_inf, Q, out)
         return out
+
+    def _dbl_repair(self, need, P, out):
+        """Select dbl(P) into `need` lanes, under a lax.cond so the
+        doubling (~8 extra field muls/lane, ~40% of an add) only runs
+        when some lane actually hit the P == Q case -- never, for
+        random MSM inputs."""
+        def fix(args):
+            P_, out_ = args
+            return self.select(need, self.dbl(P_), out_)
+
+        return jax.lax.cond(jnp.any(need), fix, lambda a: a[1], (P, out))
 
     def madd(self, P, Q_aff, valid=None):
         """Mixed addition: Q given in affine (X2, Y2), Z2 = 1 (madd-2007-bl).
@@ -192,7 +203,7 @@ class CurveKernel:
         same_y = fk.is_zero(rr)
         is_double = jnp.logical_and(jnp.logical_and(same_x, same_y),
                                     jnp.logical_not(p_inf))
-        out = self.select(is_double, self.dbl(P), out)
+        out = self._dbl_repair(is_double, P, out)
         # P = inf -> lift Q to Jacobian
         q_jac = (X2, Y2, fk.one(self._batch_shape(X2)))
         out = self.select(p_inf, q_jac, out)
@@ -200,6 +211,43 @@ class CurveKernel:
             out = self.select(q_inf, P, out)
         if valid is not None:
             out = self.select(valid, out, P)
+        return out
+
+    def aadd(self, P_aff, Q_aff):
+        """Affine + affine -> Jacobian (mmadd-2007-bl, Z1 = Z2 = 1):
+        6 field muls vs ~11 for madd. Both operands are (x, y, inf)
+        affine triples -- the MSM bucket tree's level-0 shape."""
+        from .pallas_ec import ec_pallas_ok, aadd as _paadd
+        if self.mul_by_a is None and ec_pallas_ok(self.fk):
+            return _paadd(self.fk, P_aff, Q_aff)
+        fk = self.fk
+        x1, y1, i1 = P_aff
+        x2, y2, i2 = Q_aff
+        H = fk.sub(x2, x1)
+        rr = fk.double(fk.sub(y2, y1))
+        r1 = fk.mul(fk.stack([H, rr]), fk.stack([H, rr]))
+        HH, rr2 = fk.unstack(r1)
+        I = fk.double(fk.double(HH))
+        r2 = fk.mul(fk.stack([H, x1]), fk.stack([I, I]))
+        J, V = fk.unstack(r2)
+        X3 = fk.sub(fk.sub(rr2, J), fk.double(V))
+        r3 = fk.mul(fk.stack([rr, y1]), fk.stack([fk.sub(V, X3), J]))
+        m1, m2 = fk.unstack(r3)
+        Y3 = fk.sub(m1, fk.double(m2))
+        Z3 = fk.double(H)
+        out = (X3, Y3, Z3)
+
+        one = fk.one(self._batch_shape(x1))
+        need = jnp.logical_and(
+            jnp.logical_and(fk.is_zero(H), fk.is_zero(rr)),
+            jnp.logical_not(jnp.logical_or(i1, i2)))
+        out = self._dbl_repair(need, (x1, y1, one), out)
+        # i2 -> lift P1; i1 -> lift P2; both -> infinity
+        out = self.select(i2, (x1, y1, one), out)
+        out = self.select(i1, (x2, y2, one), out)
+        both = jnp.logical_and(i1, i2)
+        out = (out[0], out[1],
+               fk.select(both, fk.zeros(self._batch_shape(x1)), out[2]))
         return out
 
     def _batch_shape(self, arr):

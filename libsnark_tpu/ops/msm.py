@@ -366,9 +366,12 @@ class MSMKernel:
 
         if rounds_pad is None:
             mean = m / B
-            # ~max over W*B near-binomial buckets (extreme-value term),
-            # plus slack; overflow is handled by the chunk loop anyway
-            rounds_pad = int(mean + 2.5 * math.sqrt(
+            # ~max over W*B near-binomial buckets: the extreme-value
+            # bound sqrt(2 var ln n) with a 1.35 safety factor + slack.
+            # (The round-2 2.5x factor over-padded ~2x; overflow beyond
+            # R is handled by the chunk loop anyway, so the right trade
+            # is a tight R with a rare second pass.)
+            rounds_pad = int(mean + 1.35 * math.sqrt(
                 2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
             rounds_pad = min(max(rounds_pad, 8), max(m, 2))
             # cap the one-shot chunk lane count (~4M lanes keeps the
@@ -417,12 +420,11 @@ class MSMKernel:
                 qinf = jnp.take(inf, pg).reshape(Wn, nb, R)
                 qinf = jnp.logical_or(qinf, jnp.logical_not(valid))
                 half = R // 2
-                lx, ly = qx[..., :half], qy[..., :half]
-                li = qinf[..., :half]
-                one = fk.one(li.shape)
-                accL = (lx, ly, fk.select(li, fk.zeros(li.shape), one))
-                acc = ck.madd(accL, (qx[..., half:], qy[..., half:],
-                                     qinf[..., half:]))  # (Wn, nb, half)
+                # level 0: both operands are affine rows -> mmadd
+                # (6 muls/lane vs ~11 for the Jacobian madd)
+                acc = ck.aadd(
+                    (qx[..., :half], qy[..., :half], qinf[..., :half]),
+                    (qx[..., half:], qy[..., half:], qinf[..., half:]))
                 P = self._tree_reduce_points(acc)
                 return _tree_map(lambda a: a[..., 0], P)  # (Wn, nb)
 
@@ -457,11 +459,16 @@ class MSMKernel:
             if eff == 0 and prev_eff < c:
                 groups.append(ck.zero((1, B + 1)))
                 continue
-            # digits <= 2^eff (+1 carry); the chunk loop still guards
+            # digits <= 2^eff (+1 carry); the chunk loop still guards.
+            # Same extreme-value padding as the main group (the old
+            # 4x-mean heuristic over-padded the top window ~4x: at
+            # eff=4/m=2^16 it gathered a (18, 16384) slab where ~4400
+            # rows suffice).
             nb = min(B + 1, (1 << eff) + 2)
-            occ = (4 * m) // max(1, nb - 1) + 16
-            Rw = 1 << min(max(3, (occ - 1).bit_length()),
-                          max(3, (m - 1).bit_length()))
+            mean_w = m / max(1, nb - 2)
+            occ = int(mean_w + 1.35 * math.sqrt(
+                2.0 * max(mean_w, 1.0) * math.log(max(nb, 2))) + 8)
+            Rw = min(max(8, occ + occ % 2), max(m, 2))
             row = reduce_windows(w, w + 1, nb, Rw)       # (1, nb)
             if nb < B + 1:                               # pad with inf
                 zpt = ck.zero((1, B + 1 - nb))
@@ -471,12 +478,13 @@ class MSMKernel:
         buckets = _tree_map(
             lambda *gs: jnp.concatenate(gs, axis=-2), *groups)
 
-        # weighted aggregation: sum_j j * S_j via two suffix point-scans
+        # weighted aggregation: sum_j j * S_j = sum_{j>=1} T_j where
+        # T_j = sum_{b>=j} S_b -- ONE suffix point-scan, then a plain
+        # log-depth reduction over lanes 1..B (half the lane work of the
+        # round-2 double-scan form)
         T = self._suffix_scan_add(buckets, B + 1)
-        R2 = self._suffix_scan_add(T, B + 1)
-        total = _tree_map(lambda a: a[..., 0:1], R2)
-        t0 = _tree_map(lambda a: a[..., 0:1], T)
-        S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
+        S_w = self._tree_reduce_points(
+            _tree_map(lambda a: a[..., 1:], T))          # batch (W, 1)
         return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
     def window_sums_fused(self, points_aff, scalars, c: int,

@@ -82,6 +82,109 @@ def _ec_madd(F, X1, Y1, Z1, X2, Y2, q_inf, valid):
     return X3, Y3, Z3
 
 
+def _ec_madd_flag(F, X1, Y1, Z1, X2, Y2, q_inf, valid):
+    """madd-2007-bl WITHOUT the in-kernel doubling path.
+
+    The P == Q case costs ~8 extra Montgomery muls per lane when folded
+    into the kernel (~40% of the madd) yet fires only on colliding
+    inputs. Here the kernel returns a (1, L) need-double flag instead;
+    the wrapper repairs flagged lanes with the dbl kernel under a
+    lax.cond, so the common case never pays for it. Flagged lanes hold
+    the raw formula output (Z3 = 2*Z1*H = 0, i.e. infinity) until
+    repaired."""
+    Z1Z1 = F.sqr(Z1)
+    U2 = F.mul(X2, Z1Z1)
+    S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+    H = F.sub(U2, X1)
+    HH = F.sqr(H)
+    I = F.dbl(F.dbl(HH))
+    J = F.mul(H, I)
+    rr = F.dbl(F.sub(S2, Y1))
+    V = F.mul(X1, I)
+    X3 = F.sub(F.sub(F.sqr(rr), J), F.dbl(V))
+    Y3 = F.sub(F.mul(rr, F.sub(V, X3)), F.dbl(F.mul(Y1, J)))
+    Z3 = F.sub(F.sub(F.sqr(F.add(Z1, H)), Z1Z1), HH)
+
+    p_inf = _fzero_mask(Z1)
+    skip = jnp.logical_or(q_inf, jnp.logical_not(valid))
+    need_dbl = jnp.logical_and(
+        jnp.logical_and(_fzero_mask(H), _fzero_mask(rr)),
+        jnp.logical_not(jnp.logical_or(p_inf, skip)))
+    # P = inf -> lift Q to Jacobian (Z = R mod p, Montgomery one)
+    oneZ = F.one(Z1)
+    X3 = _fselect(p_inf, X2, X3)
+    Y3 = _fselect(p_inf, Y2, Y3)
+    Z3 = _fselect(p_inf, oneZ, Z3)
+    # Q = inf / masked -> keep P
+    X3 = _fselect(skip, X1, X3)
+    Y3 = _fselect(skip, Y1, Y3)
+    Z3 = _fselect(skip, Z1, Z3)
+    return X3, Y3, Z3, need_dbl
+
+
+def _ec_add_flag(F, X1, Y1, Z1, X2, Y2, Z2):
+    """add-2007-bl without the in-kernel doubling path (see
+    _ec_madd_flag)."""
+    Z1Z1 = F.sqr(Z1)
+    Z2Z2 = F.sqr(Z2)
+    U1 = F.mul(X1, Z2Z2)
+    U2 = F.mul(X2, Z1Z1)
+    S1 = F.mul(F.mul(Y1, Z2), Z2Z2)
+    S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+    H = F.sub(U2, U1)
+    I = F.sqr(F.dbl(H))
+    J = F.mul(H, I)
+    rr = F.dbl(F.sub(S2, S1))
+    V = F.mul(U1, I)
+    X3 = F.sub(F.sub(F.sqr(rr), J), F.dbl(V))
+    Y3 = F.sub(F.mul(rr, F.sub(V, X3)), F.dbl(F.mul(S1, J)))
+    Z3 = F.mul(F.sub(F.sub(F.sqr(F.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+
+    p_inf = _fzero_mask(Z1)
+    q_inf = _fzero_mask(Z2)
+    need_dbl = jnp.logical_and(
+        jnp.logical_and(_fzero_mask(H), _fzero_mask(rr)),
+        jnp.logical_not(jnp.logical_or(p_inf, q_inf)))
+    X3 = _fselect(q_inf, X1, X3)
+    Y3 = _fselect(q_inf, Y1, Y3)
+    Z3 = _fselect(q_inf, Z1, Z3)
+    X3 = _fselect(p_inf, X2, X3)
+    Y3 = _fselect(p_inf, Y2, Y3)
+    Z3 = _fselect(p_inf, Z2, Z3)
+    return X3, Y3, Z3, need_dbl
+
+
+def _ec_aadd_flag(F, X1, Y1, i1, X2, Y2, i2):
+    """Affine + affine -> Jacobian (mmadd-2007-bl, Z1 = Z2 = 1): 6 muls
+    vs ~11 for madd. Used for level 0 of the MSM bucket tree, where both
+    operands are affine rows. i1/i2: (1, L) infinity masks. Returns the
+    need-double flag like _ec_madd_flag."""
+    H = F.sub(X2, X1)
+    rr = F.dbl(F.sub(Y2, Y1))
+    HH = F.sqr(H)
+    I = F.dbl(F.dbl(HH))
+    J = F.mul(H, I)
+    V = F.mul(X1, I)
+    X3 = F.sub(F.sub(F.sqr(rr), J), F.dbl(V))
+    Y3 = F.sub(F.mul(rr, F.sub(V, X3)), F.dbl(F.mul(Y1, J)))
+    Z3 = F.dbl(H)
+
+    need_dbl = jnp.logical_and(
+        jnp.logical_and(_fzero_mask(H), _fzero_mask(rr)),
+        jnp.logical_not(jnp.logical_or(i1, i2)))
+    one = F.one(X1)
+    # i2 -> lift P1; i1 -> lift P2; both -> infinity
+    X3 = _fselect(i2, X1, X3)
+    Y3 = _fselect(i2, Y1, Y3)
+    Z3 = _fselect(i2, one, Z3)
+    X3 = _fselect(i1, X2, X3)
+    Y3 = _fselect(i1, Y2, Y3)
+    Z3 = _fselect(i1, one, Z3)
+    both = jnp.logical_and(i1, i2)
+    Z3 = _fselect(both, jnp.zeros_like(Z3), Z3)
+    return X3, Y3, Z3, need_dbl
+
+
 def _ec_add(F, X1, Y1, Z1, X2, Y2, Z2):
     """add-2007-bl + exceptional-case selects (both inputs Jacobian)."""
     Z1Z1 = F.sqr(Z1)
@@ -134,25 +237,28 @@ def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
 
-    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, qi, va, ox, oy, oz):
+    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, qi, va,
+               ox, oy, oz, od):
         F = _F(p_ref[...], n0inv, one_ref[...])
-        X3, Y3, Z3 = _ec_madd(F, x1[...], y1[...], z1[...],
-                              x2[...], y2[...],
-                              qi[...] != 0, va[...] != 0)
+        X3, Y3, Z3, nd = _ec_madd_flag(F, x1[...], y1[...], z1[...],
+                                       x2[...], y2[...],
+                                       qi[...] != 0, va[...] != 0)
         ox[...], oy[...], oz[...] = X3, Y3, Z3
+        od[...] = nd.astype(jnp.uint32)
 
     block = min(_BLOCK, L)
     fs = pl.BlockSpec((N, block), lambda i: (0, i))
     ms = pl.BlockSpec((1, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
     shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1, x2, y2, qi, va):
         return pl.pallas_call(
-            kernel, out_shape=(shp, shp, shp), grid=(L // block,),
+            kernel, out_shape=(shp, shp, shp, mshp), grid=(L // block,),
             in_specs=[cs, cs, fs, fs, fs, fs, fs, ms, ms],
-            out_specs=(fs, fs, fs),
+            out_specs=(fs, fs, fs, ms),
         )(p_arr, one_arr, x1, y1, z1, x2, y2, qi, va)
 
     return call
@@ -163,23 +269,56 @@ def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
 
-    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz, od):
         F = _F(p_ref[...], n0inv, one_ref[...])
-        X3, Y3, Z3 = _ec_add(F, x1[...], y1[...], z1[...],
-                             x2[...], y2[...], z2[...])
+        X3, Y3, Z3, nd = _ec_add_flag(F, x1[...], y1[...], z1[...],
+                                      x2[...], y2[...], z2[...])
         ox[...], oy[...], oz[...] = X3, Y3, Z3
+        od[...] = nd.astype(jnp.uint32)
 
     block = min(_BLOCK, L)
     fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    ms = pl.BlockSpec((1, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
     shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1, x2, y2, z2):
         return pl.pallas_call(
-            kernel, out_shape=(shp, shp, shp), grid=(L // block,),
-            in_specs=[cs, cs] + [fs] * 6, out_specs=(fs, fs, fs),
+            kernel, out_shape=(shp, shp, shp, mshp), grid=(L // block,),
+            in_specs=[cs, cs] + [fs] * 6, out_specs=(fs, fs, fs, ms),
         )(p_arr, one_arr, x1, y1, z1, x2, y2, z2)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _build_aadd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
+    from jax.experimental import pallas as pl
+    p_arr, one_arr = _const_operands(p, N, one_mont)
+
+    def kernel(p_ref, one_ref, x1, y1, i1, x2, y2, i2, ox, oy, oz, od):
+        F = _F(p_ref[...], n0inv, one_ref[...])
+        X3, Y3, Z3, nd = _ec_aadd_flag(F, x1[...], y1[...], i1[...] != 0,
+                                       x2[...], y2[...], i2[...] != 0)
+        ox[...], oy[...], oz[...] = X3, Y3, Z3
+        od[...] = nd.astype(jnp.uint32)
+
+    block = min(_BLOCK, L)
+    fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    ms = pl.BlockSpec((1, block), lambda i: (0, i))
+    cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
+    shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
+
+    @jax.jit
+    def call(x1, y1, i1, x2, y2, i2):
+        return pl.pallas_call(
+            kernel, out_shape=(shp, shp, shp, mshp), grid=(L // block,),
+            in_specs=[cs, cs, fs, fs, ms, fs, fs, ms],
+            out_specs=(fs, fs, fs, ms),
+        )(p_arr, one_arr, x1, y1, i1, x2, y2, i2)
 
     return call
 
@@ -245,6 +384,26 @@ def _key(fk):
     return (fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np))
 
 
+def _dbl_repair(fk, P_flat, outs, Lp):
+    """Repair need-double lanes flagged by the nodbl kernels: lanes with
+    P == Q (as group elements) left the kernel as infinity; a lax.cond
+    runs the dbl kernel + select only when some lane actually collided
+    (never, for random MSM inputs -- the branch is skipped at runtime).
+    P_flat: the padded (N, Lp) Jacobian triple to double."""
+    X3, Y3, Z3, nd = outs
+    p, N, n0, onem = _key(fk)
+
+    def fix(args):
+        (x1, y1, z1), (X3, Y3, Z3, nd) = args
+        dX, dY, dZ = _build_dbl(p, N, n0, onem, Lp, 1)(x1, y1, z1)
+        m = nd != 0
+        return (jnp.where(m, dX, X3), jnp.where(m, dY, Y3),
+                jnp.where(m, dZ, Z3))
+
+    return jax.lax.cond(jnp.any(nd != 0), fix, lambda a: a[1][:3],
+                        (P_flat, outs))
+
+
 def madd(fk, P, Q_aff, valid=None):
     X1, Y1, Z1 = P
     X2, Y2, q_inf = Q_aff
@@ -255,14 +414,32 @@ def madd(fk, P, Q_aff, valid=None):
         fk, (X1, Y1, Z1, X2, Y2), (q_inf, valid))
     p, N, n0, onem = _key(fk)
     outs = _build_madd(p, N, n0, onem, Lp)(*flat)
-    return _unflatten(fk, outs, batch, L)
+    fixed = _dbl_repair(fk, tuple(flat[:3]), outs, Lp)
+    return _unflatten(fk, fixed, batch, L)
 
 
 def add(fk, P, Q):
     flat, batch, L, Lp = _flatten(fk, (*P, *Q))
     p, N, n0, onem = _key(fk)
     outs = _build_add(p, N, n0, onem, Lp)(*flat)
-    return _unflatten(fk, outs, batch, L)
+    fixed = _dbl_repair(fk, tuple(flat[:3]), outs, Lp)
+    return _unflatten(fk, fixed, batch, L)
+
+
+def aadd(fk, P_aff, Q_aff):
+    """Affine + affine -> Jacobian: (x, y, inf) x 2 -> (X, Y, Z)."""
+    x1, y1, i1 = P_aff
+    x2, y2, i2 = Q_aff
+    flat, batch, L, Lp = _flatten(fk, (x1, y1), (i1,))
+    flat2, _, _, _ = _flatten(fk, (x2, y2), (i2,))
+    p, N, n0, onem = _key(fk)
+    outs = _build_aadd(p, N, n0, onem, Lp)(*flat, *flat2)
+    # repair target: P1 lifted to Jacobian (Z = Montgomery one); padding
+    # lanes are flagged never (i1 true there)
+    oneZ = jnp.broadcast_to(
+        jnp.asarray(np.array(onem, np.uint32).reshape(N, 1)), (N, Lp))
+    fixed = _dbl_repair(fk, (flat[0], flat[1], oneZ), outs, Lp)
+    return _unflatten(fk, fixed, batch, L)
 
 
 def dbl(fk, P, reps: int = 1):

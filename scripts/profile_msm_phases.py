@@ -104,6 +104,77 @@ def digits_sort(s):
 
 
 timeit("digits+sort", jax.jit(digits_sort))
+
+# ---- kernel micro-rows at the dense tree's exact shapes. Operands are
+# derived IN-GRAPH from the fresh (small) scalar buffer: uploading real
+# (W, B, R)-scale arrays through the tunnel would take minutes/rep.
+import math as _math
+W = -(-curve.r.bit_length() // c) + 1
+mean = m / B
+R = int(mean + 1.35 * _math.sqrt(2.0 * mean * _math.log(W * B)) + 8)
+R += R % 2
+print(f"# tree shapes: W={W} B={B} R={R}", flush=True)
+
+
+def synth(s, shape):
+    """Pseudo-random (N, *shape) uint16-limb operand seeded by s."""
+    n = int(np.prod(shape))
+    i = jnp.arange(fq.N * n, dtype=jnp.uint32).reshape((fq.N,) + shape)
+    seed = jnp.sum(s, dtype=jnp.uint32)
+    v = (i * jnp.uint32(2654435761) + seed * jnp.uint32(40503)) >> 16
+    return v & 0xFFFF
+
+
+def row_aadd(s):
+    sh = (W, B + 1, R // 2)
+    ax, ay = synth(s, sh), synth(s + 1, sh)
+    bx, by = synth(s + 2, sh), synth(s + 3, sh)
+    fi = jnp.zeros(sh, bool)
+    return cksum(ck.aadd((ax, ay, fi), (bx, by, fi)))
+
+
+def row_add_l1(s):
+    sh = (W, B + 1, R // 4)
+    P = (synth(s, sh), synth(s + 1, sh), synth(s + 2, sh))
+    Q = (synth(s + 3, sh), synth(s + 4, sh), synth(s + 5, sh))
+    return cksum(ck.add(P, Q))
+
+
+def row_scan_agg(s):
+    sh = (W, B + 1)
+    Pb = (synth(s, sh), synth(s + 1, sh), synth(s + 2, sh))
+    T = mk._suffix_scan_add(Pb, B + 1)
+    S = mk._tree_reduce_points(tuple(a[..., 1:] for a in T))
+    return cksum(S)
+
+
+def row_gather_front(s):
+    """window_sums_dense front-end (digits/sort/flat gathers) with the
+    EC math replaced by a checksum."""
+    digits, signs = mk.signed_digits(s, c)
+    order, starts, counts = mk._sort_and_bounds(digits, m, B, c)
+    y2 = jnp.concatenate([y, fq.neg(y)], axis=-1)
+    signs_flat = signs.reshape(-1)
+    order_flat = order.reshape(-1)
+    r_idx = jnp.arange(R, dtype=jnp.int32)
+    woff = (jnp.arange(0, W, dtype=jnp.int32) * m)[:, None, None]
+    pos = jnp.clip(starts[..., None] + r_idx, 0, m - 1)
+    valid = r_idx < counts[..., None]
+    flat_sorted = (woff + pos).reshape(-1)
+    pg = jnp.take(order_flat, flat_sorted)
+    wrep = jnp.broadcast_to(woff, pos.shape).reshape(-1)
+    sgn_idx = jnp.take(signs_flat, wrep + pg)
+    qx = jnp.take(x, pg, axis=-1)
+    qy = jnp.take(y2, pg + sgn_idx.astype(jnp.int32) * m, axis=-1)
+    qinf = jnp.take(inf, pg)
+    return (cksum(qx) + cksum(qy) + jnp.sum(qinf, dtype=jnp.uint32)
+            + jnp.sum(valid, dtype=jnp.uint32))
+
+
+timeit("aadd @(W,B+1,R/2)", jax.jit(row_aadd))
+timeit("add  @(W,B+1,R/4)", jax.jit(row_add_l1))
+timeit("scan_agg @(W,B+1)", jax.jit(row_scan_agg))
+timeit("gather_front", jax.jit(row_gather_front))
 timeit("window_sums_dense", jax.jit(
     lambda s: cksum(mk.window_sums_dense((x, y, inf), s, c))))
 timeit("msm end-to-end", jax.jit(lambda s: cksum(mk.msm((x, y, inf), s, c))))

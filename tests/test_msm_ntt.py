@@ -55,6 +55,32 @@ def test_msm_g1_window_sizes(bn, g1msm):
         assert g1msm.ck.decode_points(out, bn.G1)[0] == want, f"c={c}"
 
 
+def test_msm_g1_dense_path(bn, g1msm, monkeypatch):
+    """Dense bucket-matrix path (normally m >= 2048) forced on a small
+    instance, with adversarial inputs: DUPLICATE points sharing the same
+    scalar digit (same bucket -> the level-0 affine add hits its P == Q
+    case and must take the doubling repair), infinity bases, and zero
+    scalars."""
+    monkeypatch.setenv("LIBSNARK_TPU_MSM_DENSE", "1")
+    rng = random.Random(33)
+    m = 64
+    pts = [bn.G1.one() * rng.randrange(1, bn.r) for _ in range(m)]
+    pts[7] = pts[6]                       # duplicate point
+    pts[9] = bn.G1.zero()                 # infinity base
+    scalars = [rng.randrange(bn.r) for _ in range(m)]
+    scalars[7] = scalars[6]               # same digits -> same buckets
+    scalars[3] = 0
+    # all-equal tail: deep single bucket exercises the chunk while_loop
+    for j in range(20, 32):
+        pts[j] = pts[20]
+        scalars[j] = scalars[20]
+    P = g1msm.ck.encode_points(pts, jacobian=False)
+    out = msm_host_scalars(g1msm, P, scalars, bn.r, c=5)
+    got = g1msm.ck.decode_points(out, bn.G1)[0]
+    want = multi_scalar_mul(pts, scalars)
+    assert got == want
+
+
 def test_msm_g2(bn):
     rng = random.Random(32)
     fq = FpKernel(bn.fq_params)
