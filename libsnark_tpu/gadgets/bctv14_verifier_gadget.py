@@ -56,6 +56,16 @@ class BCTV14VerifierGadget:
             for b in bits:
                 generate_boolean_r1cs_constraint(pb, b, "bctv14v_bit")
 
+        # proof-point well-formedness (reference
+        # r1cs_ppzksnark_verifier_gadget.hpp:52-53: G1_checker on the 7
+        # G1 proof points, G2_checker on g_B)
+        from .verifier_gadgets import check_proof_points_on_curve
+        check_proof_points_on_curve(
+            pg, g1, curve,
+            [self.A_g, self.A_h, self.C_g, self.C_h, self.B_h,
+             self.H, self.K],
+            [self.B_g], "bctv14v_proof")
+
         # acc: IC accumulation over input bits with constant tables
         # (encoded_IC_query base + rest)
         base = vk.encoded_IC_query.first

@@ -25,6 +25,33 @@ from .pairing_gadgets import G1Gadgets, PairingGadgets
 from .mnt_pairing_gadgets import make_pairing_gadgets
 
 
+def check_proof_points_on_curve(pg, g1, curve, g1_points, g2_points,
+                                ann="proofchk"):
+    """On-curve constraints for allocated proof points (reference
+    r1cs_gg_ppzksnark_proof_variable::generate_r1cs_constraints,
+    r1cs_gg_ppzksnark_verifier_gadget.tcc:54-61: a G1_checker per G1
+    proof point + a G2_checker on g_B; likewise
+    r1cs_ppzksnark_verifier_gadget.hpp:52-53 for BCTV14's 7+1 points).
+    A proof point off its curve makes the circuit UNSATISFIABLE -- the
+    soundness precondition for the incomplete (witnessed-slope) adders
+    and Miller-loop line functions downstream, which are only total on
+    curve points."""
+    from .curve_scalar_mul import G1Ops
+    ops = G1Ops(g1, curve)
+    for k, P in enumerate(g1_points):
+        ops.checker(P, f"{ann}_g1_{k}")
+    f = getattr(pg, "fpk", None) or pg.fp2
+    for k, Q in enumerate(g2_points):
+        # y^2 = x^3 + a2*x + b2 over the G2 coordinate field (degree-
+        # generic: Fp2 for BLS12-377/MNT4, Fp3 for MNT6; a2 != 0 on the
+        # MNT twists)
+        rhs = f.add(f.mul(f.sqr(Q[0]), Q[0]), f.const(curve.b2))
+        a2 = getattr(curve, "a2", None)
+        if a2 is not None and not a2.is_zero():
+            rhs = f.add(rhs, f.mul(f.const(a2), Q[0]))
+        f.assert_eq(f.sqr(Q[1]), rhs, f"{ann}_g2_{k}")
+
+
 class Groth16VerifierGadget:
     """Hardcoded-vk Groth16 verifier over the inner curve (any family
     with in-circuit pairing gadgets: BLS12-377-in-BW6-761 or either MNT
@@ -67,6 +94,10 @@ class Groth16VerifierGadget:
         for bits in self.input_bits:
             for b in bits:
                 generate_boolean_r1cs_constraint(pb, b, "g16v_input_bit")
+
+        check_proof_points_on_curve(
+            pg, g1, curve, [self.proof_A, self.proof_C], [self.proof_B],
+            "g16v_proof")
 
         # ---- acc = IC[0] + sum_i sum_j bit_{i,j} 2^j IC[i+1] ---------------
         acc = g1.const(vk.gamma_ABC[0])
@@ -191,6 +222,10 @@ class Groth16VerifierGadgetVariableVK:
         for bits in self.input_bits:
             for b in bits:
                 generate_boolean_r1cs_constraint(pb, b, "g16vv_input_bit")
+
+        check_proof_points_on_curve(
+            pg, g1, self.curve, [self.proof_A, self.proof_C],
+            [self.proof_B], "g16vv_proof")
 
         # acc = IC[0] + sum_i sum_j bit_{i,j} * 2^j * IC[i+1]
         # (variable bases: in-circuit doubling ladder per input)
@@ -323,6 +358,15 @@ class Groth16VerifierGadgetSoft:
             for bits in self.input_bits:
                 for b in bits:
                     generate_boolean_r1cs_constraint(pb, b, "g16s_bit")
+
+        # proof points are HARD-constrained on-curve even though the
+        # verification result is soft: base-case slots witness dummy
+        # proofs made of generator points (reference proof_variable
+        # checkers are likewise unconditional in the PCD compliance
+        # circuits)
+        check_proof_points_on_curve(
+            pg, g1, self.curve, [self.proof_A, self.proof_C],
+            [self.proof_B], "g16s_proof")
 
         # acc over VARIABLE IC bases (doubling ladder per input)
         acc = pvk.gamma_ABC[0]

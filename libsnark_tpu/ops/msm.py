@@ -384,11 +384,25 @@ class MSMKernel:
 
         order, starts, counts = self._sort_and_bounds(digits, m, B, c)
 
-        # doubled y table [y | -y]: digit signs become +m on the gather
-        # index (one flat gather instead of two + select)
-        y2 = jnp.concatenate([y, fk.neg(y)], axis=-1)    # (N, 2m)
-        signs_flat = signs.reshape(-1)                   # (W*m,)
-        order_flat = order.reshape(-1)
+        # Row-major point table (r4): TPU gathers are ROW-count bound
+        # (~264M rows/s measured, scripts/profile_gather2.py) -- three
+        # lane-axis takes from (N, m) tables ran ~2.7x slower than ONE
+        # row gather + transpose. rows = [x | y] per point, [x | -y] in
+        # the second half (digit signs become +m on the row index);
+        # infinity rows are all-zero (y == 0 is never a valid affine
+        # point on these odd-order curves, so qy == 0 recovers inf).
+        lead = x.shape[:-1]
+        D = int(np.prod(lead)) if lead else 1
+        live = jnp.logical_not(inf)[:, None]             # (m, 1)
+        xr = jnp.where(live, x.reshape(D, m).T, 0)       # (m, D)
+        yr = jnp.where(live, y.reshape(D, m).T, 0)
+        ynr = jnp.where(live, fk.neg(y).reshape(D, m).T, 0)
+        rows = jnp.concatenate(
+            [jnp.concatenate([xr, yr], axis=1),
+             jnp.concatenate([xr, ynr], axis=1)], axis=0)  # (2m, 2D)
+        # final row index per (window, sorted position)
+        sgn_sorted = jnp.take_along_axis(signs, order, axis=-1)
+        gidx_flat = (order + sgn_sorted.astype(jnp.int32) * m).reshape(-1)
 
         def reduce_windows(w_lo, w_hi, nb, R):
             """Dense gather + tree reduce for windows [w_lo, w_hi) over
@@ -407,17 +421,14 @@ class MSMKernel:
             def chunk(base):
                 pos = jnp.clip(st[..., None] + base + r_idx, 0, m - 1)
                 valid = (base + r_idx) < ct[..., None]   # (Wn, nb, R)
-                flat_sorted = (woff + pos).reshape(-1)   # into order_flat
-                pg = jnp.take(order_flat, flat_sorted)   # ORIGINAL pt idx
-                # sign of point pg's digit in ITS window: signs is
-                # indexed by (window, original point), not sorted pos
-                wrep = jnp.broadcast_to(woff, pos.shape).reshape(-1)
-                sgn_idx = jnp.take(signs_flat, wrep + pg)
-                lead = x.shape[:-1]
-                qx = jnp.take(x, pg, axis=-1).reshape(lead + (Wn, nb, R))
-                qy = jnp.take(y2, pg + sgn_idx.astype(jnp.int32) * m,
-                              axis=-1).reshape(lead + (Wn, nb, R))
-                qinf = jnp.take(inf, pg).reshape(Wn, nb, R)
+                flat_sorted = (woff + pos).reshape(-1)   # into gidx_flat
+                rg = jnp.take(gidx_flat, flat_sorted)    # row indices
+                g = jnp.take(rows, rg, axis=0)           # (K, 2D) rows
+                gt = g.T                                 # (2D, K)
+                sh = lead + (Wn, nb, R)
+                qx = gt[:D].reshape(sh)
+                qy = gt[D:].reshape(sh)
+                qinf = jnp.all(gt[D:] == 0, axis=0).reshape(Wn, nb, R)
                 qinf = jnp.logical_or(qinf, jnp.logical_not(valid))
                 half = R // 2
                 # level 0: both operands are affine rows -> mmadd
@@ -490,14 +501,24 @@ class MSMKernel:
     def window_sums_fused(self, points_aff, scalars, c: int,
                           rounds_pad: int = None, interpret: bool = False):
         """Bucket accumulation via the fused Pallas bucket-reduce kernel
-        (ops/pallas_bucket.py): sort -> ONE row-major gather -> one
-        kernel launch that DMAs each bucket's contiguous rows and
-        tree-reduces them in-register. G1/plain-Fp only.
+        (ops/pallas_bucket.py): sort -> ONE row gather straight into the
+        kernel's interleaved lane layout -> one kernel sweep that madd-
+        accumulates each bucket's rows in R_SUB-row sub-chunks and
+        collapses the partial sums with a lane-roll tree. G1/plain-Fp
+        only.
 
         Digit signs are baked into the gather by indexing a doubled
-        [P | -P] row table; infinity and padding lanes are all-zero rows
-        (y == 0 is never a valid affine point on these curves)."""
-        from .pallas_bucket import bucket_reduce, B_TILE
+        [P | -P] row table; infinity rows are all-zero (y == 0 is never
+        a valid affine point on these curves); positions beyond a
+        bucket's count gather clipped garbage that the kernel's count
+        mask kills.
+
+        No window splitting: partial top windows concentrate digits in
+        few buckets, but the kernel's per-tile trip count scales with
+        the actual occupancy, so skewed buckets cost compute
+        proportional to their size (extra outer chunk passes re-gather,
+        but their exhausted tiles exit immediately)."""
+        from .pallas_bucket import bucket_reduce, B_TILE, R_SUB
         ck, fk = self.ck, self.fk
         N = fk.N
         m = scalars.shape[-1]
@@ -508,16 +529,14 @@ class MSMKernel:
 
         if rounds_pad is None:
             mean = m / B
-            rounds_pad = int(mean + 2.5 * math.sqrt(
+            rounds_pad = int(mean + 1.35 * math.sqrt(
                 2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
-        R = 1 << max(3, (rounds_pad - 1).bit_length())   # pow2 for the tree
+        # multiple of R_SUB, capped so the kernel's (2N, R*128) block
+        # stays within VMEM (~4 MB at N=16); deeper buckets take extra
+        # outer chunk passes
+        R = -(-max(min(rounds_pad, 256), R_SUB) // R_SUB) * R_SUB
 
-        order = jnp.argsort(digits, axis=-1)             # (W, m)
-        dig_s = jnp.take_along_axis(digits, order, axis=-1)
-        counts = jax.vmap(lambda d: jax.ops.segment_sum(
-            jnp.ones((m,), jnp.int32), d, num_segments=B + 1))(dig_s)
-        starts = jnp.cumsum(counts, axis=-1) - counts    # (W, B+1)
-        counts = counts.at[:, 0].set(0)                  # bucket 0 unused
+        order, starts, counts = self._sort_and_bounds(digits, m, B, c)
 
         # doubled row table [P | -P]; infinity -> all-zero rows
         live = jnp.logical_not(inf)[:, None]             # (m, 1)
@@ -527,53 +546,98 @@ class MSMKernel:
             [xr, jnp.where(live, fk.neg(y).T, 0)], axis=1)
         rows_all = jnp.concatenate([rows_pos, rows_neg], axis=0)  # (2m,2N)
 
-        # sorted row gather with signs baked in; pad R zero rows so the
-        # fixed-size bucket DMA never reads out of bounds
+        # per-sorted-position row index with signs baked in
         sgn_sorted = jnp.take_along_axis(signs, order, axis=-1)
-        gidx = order + sgn_sorted.astype(jnp.int32) * m  # (W, m)
-        rows_sorted = jnp.take(rows_all, gidx.reshape(-1), axis=0)
-        rows_sorted = jnp.concatenate(
-            [rows_sorted, jnp.zeros((R, 2 * N), jnp.uint32)], axis=0)
-
-        # flat bucket tables (padded to the kernel tile size)
+        gidx_flat = (order + sgn_sorted.astype(jnp.int32) * m).reshape(-1)
         woff = (jnp.arange(W, dtype=jnp.int32) * m)[:, None]
-        starts_flat = (starts + woff).reshape(-1)
-        counts_flat = counts.reshape(-1)
-        nb = W * (B + 1)
-        nb_pad = -(-nb // B_TILE) * B_TILE
-        if nb_pad != nb:
-            starts_flat = jnp.pad(starts_flat, (0, nb_pad - nb))
-            counts_flat = jnp.pad(counts_flat, (0, nb_pad - nb))
+        starts_g = starts + woff                         # global offsets
 
-        max_count = jnp.max(counts_flat)
+        def reduce_group(w_lo, w_hi, nb_g, R_g):
+            """Fused bucket reduction for windows [w_lo, w_hi) over
+            buckets [0, nb_g), chunk depth R_g; an outer while_loop
+            re-gathers for buckets deeper than R_g (extra passes cost
+            only this GROUP's gather, and exhausted tiles exit in the
+            kernel). Returns (w_hi-w_lo, nb_g) Jacobian bucket sums."""
+            Wn = w_hi - w_lo
+            st = jax.lax.slice(starts_g, (w_lo, 0), (w_hi, nb_g))
+            ct = jax.lax.slice(counts, (w_lo, 0), (w_hi, nb_g))
+            sfl, cfl = st.reshape(-1), ct.reshape(-1)
+            nbf = Wn * nb_g
+            nb_pad = -(-nbf // B_TILE) * B_TILE
+            if nb_pad != nbf:
+                sfl = jnp.pad(sfl, (0, nb_pad - nbf))
+                cfl = jnp.pad(cfl, (0, nb_pad - nbf))
+            T = nb_pad // B_TILE
+            R2 = R_g // R_SUB
+            sf = sfl.reshape(T, B_TILE)
+            i_idx = jnp.arange(R2, dtype=jnp.int32)
+            r_idx = jnp.arange(R_SUB, dtype=jnp.int32)
+            # static per-chunk offset skeleton, lane layout (i, r, j)
+            off = (i_idx[:, None, None] * R_SUB
+                   + r_idx[None, :, None])               # (R2, R_SUB, 1)
+            max_count = jnp.max(cfl)
 
-        def chunk(t, accb):
-            s = jnp.clip(starts_flat + t * R, 0, W * m)
-            cta = jnp.clip(counts_flat - t * R, 0, R)
-            X, Y, Z = bucket_reduce(fk, s, cta, rows_sorted, R,
-                                    interpret=interpret)
-            return ck.add(accb, (X, Y, Z))
+            def chunk(t, accb):
+                pos = sf[:, None, None, :] + t * R_g + off
+                rg = jnp.take(gidx_flat,
+                              jnp.clip(pos, 0, W * m - 1).reshape(-1))
+                g = jnp.take(rows_all, rg, axis=0)       # (K, 2N)
+                G = jnp.transpose(
+                    g.reshape(T, R_g * B_TILE, 2 * N), (0, 2, 1))
+                cta = jnp.clip(cfl - t * R_g, 0, R_g)
+                X, Y, Z = bucket_reduce(fk, G, cta, R_g,
+                                        interpret=interpret)
+                return ck.add(accb, (X, Y, Z))
 
-        def cond(state):
-            t, _ = state
-            return t * R < max_count
+            def cond(state):
+                t, _ = state
+                return t * R_g < max_count
 
-        def body(state):
-            t, accb = state
-            return t + 1, chunk(t, accb)
+            def body(state):
+                t, accb = state
+                return t + 1, chunk(t, accb)
 
-        _, bsums = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), ck.zero((nb_pad,))))
+            _, bs = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), ck.zero((nb_pad,))))
+            return _tree_map(
+                lambda a: a[..., :nbf].reshape(
+                    a.shape[:-1] + (Wn, nb_g)), bs)
+
+        # ---- window split (as in the dense path): partial top windows
+        # cover < c scalar bits, so their digits land in ~2^eff buckets
+        # with occupancy >> m/B -- folding them into the full-window
+        # group would drag EVERY window through ~occ/R re-gather passes
+        # (measured 21 passes = 5x the dense path before this split).
+        W_full = min(W, self.scalar_bits // c)
+        groups = []
+        if W_full > 0:
+            groups.append(reduce_group(0, W_full, B + 1, R))
+        for w in range(W_full, W):
+            eff = max(0, min(c, self.scalar_bits - c * w))
+            prev_eff = max(0, min(c, self.scalar_bits - c * (w - 1)))
+            if eff == 0 and prev_eff < c:
+                groups.append(ck.zero((1, B + 1)))       # provably zero
+                continue
+            nb_g = min(B + 1, (1 << eff) + 2)
+            mean_w = m / max(1, nb_g - 2)
+            occ = int(mean_w + 1.35 * math.sqrt(
+                2.0 * max(mean_w, 1.0) * math.log(max(nb_g, 2))) + 8)
+            Rw = -(-max(min(occ, 256), R_SUB) // R_SUB) * R_SUB
+            row = reduce_group(w, w + 1, nb_g, Rw)       # (1, nb_g)
+            if nb_g < B + 1:                             # pad with inf
+                zpt = ck.zero((1, B + 1 - nb_g))
+                row = tuple(jnp.concatenate([a, z], axis=-1)
+                            for a, z in zip(row, zpt))
+            groups.append(row)
         buckets = _tree_map(
-            lambda a: a[..., :nb].reshape(a.shape[:-1] + (W, B + 1)),
-            bsums)
+            lambda *gs: jnp.concatenate(gs, axis=-2), *groups)
 
-        # weighted aggregation (sum_j j * S_j) via two suffix point-scans
+        # weighted aggregation: sum_j j * S_j = sum_{j>=1} T_j, one
+        # suffix point-scan + a log-depth lane reduction (same agg as
+        # the dense path)
         T = self._suffix_scan_add(buckets, B + 1)
-        R2 = self._suffix_scan_add(T, B + 1)
-        total = _tree_map(lambda a: a[..., 0:1], R2)
-        t0 = _tree_map(lambda a: a[..., 0:1], T)
-        S_w = ck.add(total, ck.neg(t0))                  # batch (W, 1)
+        S_w = self._tree_reduce_points(
+            _tree_map(lambda a: a[..., 1:], T))          # batch (W, 1)
         return _tree_map(lambda a: jnp.moveaxis(a, -2, 0), S_w)
 
     def combine_windows(self, S, c: int):

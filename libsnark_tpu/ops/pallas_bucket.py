@@ -1,24 +1,40 @@
-"""Fused Pippenger bucket-accumulation Pallas kernel.
+"""Fused Pippenger bucket-accumulation Pallas kernel (v4).
 
 The MSM hot loop: after sorting point indices by bucket (digit), every
-bucket owns a CONTIGUOUS run of rows in a sorted row-major point array.
-This kernel processes a tile of buckets per grid step:
+bucket owns a contiguous run of rows in the sorted order. The caller
+(msm.py window_sums_fused) gathers those rows XLA-side into the exact
+interleaved layout this kernel consumes -- (2N, T, R*B_TILE) with lane
+index (chunk i, row r, bucket j) = i*R_SUB*B_TILE + r*B_TILE + j per
+bucket tile -- and the kernel reduces each bucket's rows to ONE
+Jacobian point:
 
-  1. scalar-prefetched per-bucket row offsets/counts drive a dynamic-
-     offset DMA of each bucket's (R, 2N) row slab from HBM to VMEM,
-  2. rows are transposed to the (N, lanes) compute layout,
-  3. a masked in-register tree reduction (madd level 0, full adds after)
-     collapses each bucket's R points to ONE Jacobian point,
-  4. the (3 coords x N limbs) results are written to the output tile.
+  phase 1  fori_loop over R_SUB-row sub-chunks: ONE (N, 1024)-lane
+           masked madd per step; trip count = ceil(max_count/R_SUB)
+           for THIS tile, so short/empty tiles cost ~nothing;
+  phase 2  fori_loop log2(R_SUB) LANE-ROLL halving tree: ONE full add
+           per step collapses the R_SUB partial sums per bucket
+           (rolled-in lanes compute garbage; group ops are total and
+           only lanes [0, B_TILE) are read out).
 
-One kernel launch replaces the XLA-level gather + log2(R) separate
-kernel rounds (and their per-shape Mosaic compiles).
+Design history (scripts/probe_mosaic_ops.py, probe_mosaic_dma.py):
+v1 fully unrolled a log2(R)-level halving tree -> Mosaic compile blew
+past 9.5 min; v2's (N, R_SUB, B) -> (N, R_SUB*B) minor-dim merge is an
+unsupported shape cast; v3's per-bucket dynamic DMA requires 128-lane
+rows (4x bandwidth + VMEM). v4 keeps ALL layout work (gather,
+interleave, padding) in XLA where it is cheap and streams regular
+BlockSpec blocks -- the kernel body is exactly one madd, one add, and
+one doubling-repair cond, so Mosaic compiles in seconds.
 
-Row layout: points_rows is (rows, 2N) uint32 -- [x limbs | y limbs] per
-row; infinity rows are all-zero (x=y=0 is never a valid affine point for
-the a=0 curves used here, so the kernel detects infinity as y == 0).
-The caller bakes scalar-digit SIGNS into the row data by gathering from
-a [P | -P] doubled table.
+P == Q collisions (adversarial scalar distributions) are repaired
+in-loop: the madd/add bodies return a need-double flag and a lax.cond
+applies the doubling formula only when some lane actually flagged
+(never, for random MSM inputs).
+
+Row layout: gathered rows are [x limbs | y limbs] columns of a
+(2N, lanes) array; digit SIGNS are baked in by gathering from a
+doubled [P | -P] table; infinity and padding lanes are killed by the
+per-bucket count mask (and y == 0 marks input points at infinity --
+x=y=0 is never a valid affine point on these curves).
 
 Reference role: the bucket loop of multi_exp BDLO12_signed
 (kc_multiexp.tcc:63-112) -- redesigned as a single fused TPU kernel.
@@ -33,18 +49,14 @@ import numpy as np
 
 from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
 from .pallas_fp import _F, _fselect, _fzero_mask
+from .pallas_ec import _ec_add_flag, _ec_madd_flag
 
-# buckets per grid step; lanes per tree level = B_TILE * width
-B_TILE = 8
-B_SHIFT = 3                     # log2(B_TILE)
-
-
-def _ec_madd_nomask(F, X1, Y1, Z1, X2, Y2, q_inf):
-    """madd-2007-bl with exceptional-case selects (no validity mask --
-    invalid lanes enter as infinity)."""
-    from .pallas_ec import _ec_madd
-    valid = jnp.ones_like(q_inf)
-    return _ec_madd(F, X1, Y1, Z1, X2, Y2, q_inf, valid)
+# buckets per grid step (one full lane dim)
+B_TILE = 128
+# rows madd-accumulated per phase-1 step
+R_SUB = 8
+# phase-1 compute width
+_CW = R_SUB * B_TILE
 
 
 def _ec_add(F, P, Q):
@@ -55,119 +67,115 @@ def _ec_add(F, P, Q):
 @functools.lru_cache(maxsize=None)
 def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
                          num_buckets: int, R: int, interpret: bool = False):
-    """pallas_call: (starts, counts, rows) -> (X, Y, Z) bucket sums.
+    """pallas_call: (G, counts) -> (X, Y, Z) bucket sums.
 
-    starts: (num_buckets,) int32 row offsets into `rows`
-    counts: (num_buckets,) int32 bucket occupancies (<= R enforced by
-            the caller's chunk loop)
-    rows:   (total_rows, 2N) uint32 sorted point rows (HBM-resident)
+    G:      (T, 2N, R*B_TILE) uint32 gathered rows, T = num_buckets /
+            B_TILE tiles; lane layout (i, r, j) as in the module doc
+            (tile index LEADS: Mosaic requires the last two block dims
+            to be (8, 128)-divisible or full)
+    counts: (1, T, B_TILE) int32 per-bucket occupancies (<= R enforced
+            by the caller's chunk loop)
     out:    three (N, num_buckets) uint32 Jacobian coordinate arrays
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from .pallas_ec import _ec_dbl
 
     p_np = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
     one_np = np.array(one_mont, dtype=np.uint32).reshape(N, 1)
-    grid = (num_buckets // B_TILE,)
-
-    def kernel(starts_ref, counts_ref, p_ref, one_ref, rows_hbm,
-               ox, oy, oz, slab, sem):
-        t = pl.program_id(0)
-
-        # 1. DMA each bucket's contiguous slab: (B_TILE, R, 2N)
-        dmas = []
-        for j in range(B_TILE):
-            start = starts_ref[t * B_TILE + j]
-            cp = pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(start, R), :], slab.at[j], sem.at[j])
-            cp.start()
-            dmas.append(cp)
-        for cp in dmas:
-            cp.wait()
-
-        F = _F(p_ref[...], n0inv, one_ref[...])
-
-        # 2. to compute layout: (B_TILE, R, 2N) -> (2N, R*B_TILE),
-        # lane index = r*B_TILE + j (r-major INTERLEAVE). With rows
-        # interleaved, "the first h rows of every bucket" is the
-        # CONTIGUOUS lane prefix [0, h*B_TILE) -- the halving tree below
-        # needs only plain lane slices (Mosaic rejects the slice+merge
-        # shape casts the bucket-major layout would need).
-        data = jnp.transpose(slab[...], (2, 1, 0))   # (2N, R, B_TILE)
-        qx = data[:N].reshape(N, R * B_TILE)
-        qy = data[N:].reshape(N, R * B_TILE)
-
-        # mask lanes beyond each bucket's count -> infinity. Computed
-        # directly in the flat interleaved shape (iota + per-bucket
-        # scalar selects; an (8, R) mask reshaped flat is a vector
-        # shape cast Mosaic cannot lower).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R * B_TILE), 1)
-        r_idx = jax.lax.shift_right_logical(lane, B_SHIFT)
-        cnt = jnp.zeros_like(lane)
-        for j in range(B_TILE):
-            cnt = jnp.where((lane & (B_TILE - 1)) == j,
-                            counts_ref[t * B_TILE + j], cnt)
-        q_inf = jnp.logical_or(r_idx >= cnt, _fzero_mask(qy))
-
-        # 3. level 0: lift left half, madd right half (contiguous lane
-        # slices in the interleaved layout)
-        half = R // 2
-        lw = half * B_TILE
-        lx, ly, li = qx[:, :lw], qy[:, :lw], q_inf[:, :lw]
-        rx, ry, ri = qx[:, lw:], qy[:, lw:], q_inf[:, lw:]
-        one = F.one(lx)
-        lz = jnp.where(li, jnp.zeros_like(one), one)
-        X, Y, Z = _ec_madd_nomask(F, lx, ly, lz, rx, ry, ri)
-
-        # 4. in-register tree over the remaining width (R is a power of
-        # two, so widths stay even)
-        width = half
-        while width > 1:
-            h = width // 2
-            hw = h * B_TILE
-            P = (X[:, :hw], Y[:, :hw], Z[:, :hw])
-            Q = (X[:, hw:2 * hw], Y[:, hw:2 * hw], Z[:, hw:2 * hw])
-            X, Y, Z = _ec_add(F, P, Q)
-            width = h
-        X, Y, Z = X[:, :B_TILE], Y[:, :B_TILE], Z[:, :B_TILE]
-
-        ox[...], oy[...], oz[...] = (a[None] for a in (X, Y, Z))
-
-    # Mosaic tiling rule: a block's last dim must be 128-divisible OR
-    # equal the array dim. B_TILE=8 lanes per step can't satisfy the
-    # former, so outputs are 3-D (T, N, B_TILE) with the block equal to
-    # the trailing dims; the caller flattens back to (N, num_buckets).
+    assert num_buckets % B_TILE == 0 and R % R_SUB == 0
     T = num_buckets // B_TILE
-    out_shape = tuple(jax.ShapeDtypeStruct((T, N, B_TILE), jnp.uint32)
-                      for _ in range(3))
-    # NB: with PrefetchScalarGridSpec, index maps receive the scalar-
-    # prefetch refs after the grid indices
-    ospec = pl.BlockSpec((1, N, B_TILE), lambda t, *_: (t, 0, 0))
+    LEVELS = R_SUB.bit_length() - 1           # log2(R_SUB)
 
-    cspec = pl.BlockSpec((N, 1), lambda t, *_: (0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[cspec, cspec, pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(ospec, ospec, ospec),
-        scratch_shapes=[
-            pltpu.VMEM((B_TILE, R, 2 * N), jnp.uint32),
-            pltpu.SemaphoreType.DMA((B_TILE,)),
-        ],
-    )
+    def _repair(F, nd, Xp, Yp, Zp, X, Y, Z):
+        def fix(_):
+            dX, dY, dZ = _ec_dbl(F, Xp, Yp, Zp)
+            return (_fselect(nd, dX, X), _fselect(nd, dY, Y),
+                    _fselect(nd, dZ, Z))
+        return jax.lax.cond(jnp.any(nd), fix, lambda _: (X, Y, Z), None)
+
+    def kernel(p_ref, one_ref, g_ref, cnt_ref, ox, oy, oz):
+        F = _F(p_ref[...], n0inv, one_ref[...])
+        cnt = cnt_ref[0]                       # (1, B_TILE) int32
+
+        maxc = jnp.max(cnt)
+        # per-lane counts / chunk-row index in the (r, j) lane layout
+        cnt_l = jnp.concatenate([cnt] * R_SUB, axis=-1)    # (1, CW)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CW), 1)
+        r_loc = jax.lax.shift_right_logical(lane, 7)       # lane//128
+
+        zero2 = jnp.zeros((N, B_TILE), jnp.uint32)
+        ox[...], oy[...], oz[...] = zero2, zero2, zero2
+
+        @pl.when(maxc > 0)
+        def _():
+            def p1_body(i, acc):
+                Xp, Yp, Zp = acc
+                chunk = g_ref[0, :, pl.ds(i * _CW, _CW)]   # (2N, CW)
+                cx = chunk[:N]
+                cy = chunk[N:]
+                q_inf = jnp.logical_or(i * R_SUB + r_loc >= cnt_l,
+                                       _fzero_mask(cy))
+                valid = jnp.ones_like(q_inf)
+                X, Y, Z, nd = _ec_madd_flag(F, Xp, Yp, Zp, cx, cy,
+                                            q_inf, valid)
+                return _repair(F, nd, Xp, Yp, Zp, X, Y, Z)
+
+            trips = jax.lax.div(maxc + (R_SUB - 1), jnp.int32(R_SUB))
+            zcw = jnp.zeros((N, _CW), jnp.uint32)
+            X, Y, Z = jax.lax.fori_loop(
+                0, trips, p1_body, (zcw, zcw, zcw))
+
+            def p2_body(k, acc):
+                Xp, Yp, Zp = acc
+                sh = jax.lax.shift_right_logical(jnp.int32(_CW), k + 1)
+                Qx = pltpu.roll(Xp, _CW - sh, 1)
+                Qy = pltpu.roll(Yp, _CW - sh, 1)
+                Qz = pltpu.roll(Zp, _CW - sh, 1)
+                X2, Y2, Z2, nd = _ec_add_flag(F, Xp, Yp, Zp, Qx, Qy, Qz)
+                return _repair(F, nd, Xp, Yp, Zp, X2, Y2, Z2)
+
+            X, Y, Z = jax.lax.fori_loop(0, LEVELS, p2_body, (X, Y, Z))
+            ox[...], oy[...], oz[...] = (a[:, :B_TILE] for a in (X, Y, Z))
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((N, num_buckets), jnp.uint32)
+        for _ in range(3))
+    cs = pl.BlockSpec((N, 1), lambda t: (0, 0))
+    gs = pl.BlockSpec((1, 2 * N, R * B_TILE), lambda t: (t, 0, 0))
+    ns = pl.BlockSpec((1, 1, B_TILE), lambda t: (t, 0, 0))
+    os_ = pl.BlockSpec((N, B_TILE), lambda t: (0, t))
 
     @jax.jit
-    def call(starts, counts, rows):
-        outs = pl.pallas_call(
+    def call(G, counts):
+        return pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            grid_spec=grid_spec,
+            grid=(T,),
+            in_specs=[cs, cs, gs, ns],
+            out_specs=(os_, os_, os_),
             interpret=interpret,
-        )(starts, counts, p_np, one_np, rows)
-        return tuple(jnp.transpose(o, (1, 0, 2)).reshape(N, num_buckets)
-                     for o in outs)
+        )(p_np, one_np, G,
+          counts.reshape(T, 1, B_TILE).astype(jnp.int32))
 
     return call
+
+
+def bucket_reduce(fk, G, counts, R: int, interpret=False):
+    """Reduce gathered interleaved point rows into per-bucket Jacobian
+    sums.
+
+    fk: FpKernel; G: (T, 2N, R*B_TILE) uint32 (see module doc);
+    counts: (num_buckets,) int32. Returns (X, Y, Z) of shape
+    (N, num_buckets) with num_buckets = T * B_TILE.
+    """
+    nb = counts.shape[0]
+    assert nb % B_TILE == 0, f"num_buckets {nb} % {B_TILE} != 0"
+    assert R % R_SUB == 0, f"R {R} % {R_SUB} != 0"
+    fn = _build_bucket_reduce(
+        fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np),
+        nb, R, interpret)
+    return fn(G, counts)
 
 
 @functools.lru_cache(maxsize=None)
@@ -238,19 +246,3 @@ def horner_combine(fk, S, c: int, interpret=False):
                        tuple(int(v) for v in fk.one_mont_np),
                        W, c, interpret)
     return fn(*S)
-
-
-def bucket_reduce(fk, starts, counts, rows, R: int, interpret=False):
-    """Reduce sorted point rows into per-bucket Jacobian sums.
-
-    fk: FpKernel; starts/counts: (num_buckets,) int32; rows:
-    (total_rows, 2N) uint32 with total_rows >= max(starts)+R.
-    Returns (X, Y, Z) arrays of shape (N, num_buckets).
-    """
-    nb = starts.shape[0]
-    assert nb % B_TILE == 0, f"num_buckets {nb} % {B_TILE} != 0"
-    assert R & (R - 1) == 0, "R must be a power of two"
-    fn = _build_bucket_reduce(
-        fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np),
-        nb, R, interpret)
-    return fn(starts, counts, rows)

@@ -98,10 +98,10 @@ def _add_at(acc, off, val):
     tail = K - off - val.shape[0]
     parts = []
     if off:
-        parts.append(jnp.zeros((off, val.shape[1]), val.dtype))
+        parts.append(jnp.zeros((off,) + val.shape[1:], val.dtype))
     parts.append(val)
     if tail:
-        parts.append(jnp.zeros((tail, val.shape[1]), val.dtype))
+        parts.append(jnp.zeros((tail,) + val.shape[1:], val.dtype))
     return acc + (parts[0] if len(parts) == 1
                   else jnp.concatenate(parts, axis=0))
 
@@ -113,8 +113,7 @@ def _mul_body(a, b, p_col, n0inv, N):
     in acc[j]; after step i folds u_i*p, column i is == 0 mod 2^16 and
     its carry is folded into column i+1. Lazy columns stay < 2^23.
     """
-    L = a.shape[1]
-    acc = jnp.zeros((2 * N + 2, L), jnp.uint32)
+    acc = jnp.zeros((2 * N + 2,) + a.shape[1:], jnp.uint32)
     for i in range(N):
         prod = a[i:i + 1] * b                      # (N, L) exact u32
         acc = _add_at(acc, i, prod & LIMB_MASK)
@@ -139,7 +138,7 @@ def _fsub(a, b, p_col):
     N = p_col.shape[0]
     ai = a.astype(jnp.int32)
     bi = b.astype(jnp.int32)
-    borrow = jnp.zeros((1, a.shape[1]), jnp.int32)
+    borrow = jnp.zeros((1,) + a.shape[1:], jnp.int32)
     diff = []
     for k in range(N):
         d = ai[k:k + 1] - bi[k:k + 1] - borrow

@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ntt import Radix2Domain
+from ..ops.domains import TwoPartDomain
 from ..ops.limbs import ints_to_limbs
 
 
@@ -118,6 +119,11 @@ class FourStepDomain:
     def ifft(self, a, dt=None):
         return self._four_step(a, fwd=False)
 
+    def device_tables(self):
+        """Signature parity with Radix2Domain (twiddles are member
+        arrays here; nothing to thread as jit arguments)."""
+        return None
+
     # -- coset variants (same surface as Radix2Domain; the dt pytree is
     # accepted for signature parity and ignored -- four-step tables are
     # small at dryrun scale) --------------------------------------------------
@@ -161,3 +167,31 @@ class FourStepDomain:
         for i in range(1, self.m):
             out[i] = out[i - 1] * self.omega % self.p
         return out
+
+
+class ShardedTwoPartDomain(TwoPartDomain):
+    """Distributed extended/step domain (VERDICT r3 item 5): the
+    TwoPartDomain's two radix-2 subtransforms become four-step
+    distributed NTTs over the mesh; the binomial folds and the CRT lift
+    are elementwise / chunk-sum ops that XLA partitions under the same
+    sharding. This lets ``prover_sharded`` run the reference-DEFAULT
+    domain selection (libfqfft get_evaluation_domain,
+    r1cs_to_qap.tcc:40-41) instead of requiring force_pow_2.
+
+    Parts smaller than 2 * mesh size stay replicated (FourStepDomain
+    falls back internally when a factor is not divisible by D)."""
+
+    def __init__(self, fk, params, log1: int, log2: int, mesh: Mesh,
+                 axis: str):
+        super().__init__(fk, params, log1, log2)
+        self.mesh = mesh
+        self.axis = axis
+        D = mesh.shape[axis]
+        # distribute a part only when its four-step factors split over
+        # the mesh; tiny parts run as plain (replicated) radix-2
+        if self.n1 >= 4 * D * D:
+            self.dom1 = FourStepDomain(fk, params, log1, mesh, axis)
+        if self.n2 >= 4 * D * D and log2 != log1:
+            self.dom2 = FourStepDomain(fk, params, log2, mesh, axis)
+        elif log2 == log1:
+            self.dom2 = self.dom1

@@ -232,7 +232,8 @@ class Groth16(PairingSystem):
 
         msm_method="simple" swaps the local MSM for the scan-based
         double-and-add (compile-budgeted mesh validation)."""
-        from ..parallel.ntt_sharded import FourStepDomain
+        from ..parallel.ntt_sharded import (FourStepDomain,
+                                            ShardedTwoPartDomain)
         from ..parallel.msm_sharded import sharded_msm, pad_for_mesh
         from ..ops.ntt import get_domain_size
 
@@ -247,13 +248,17 @@ class Groth16(PairingSystem):
         cs, dev = pk.cs, pk.r1cs_dev
         D = mesh.devices.size
         base = qap_domain(self.fr, curve.fr_params, cs, self.force_pow_2)
-        if base.m & (base.m - 1):
-            raise ValueError(
-                "prover_sharded needs a power-of-2 domain (the four-step "
-                "factorization): set force_pow_2=True before keygen")
         m = base.m
-        domain = FourStepDomain(self.fr, curve.fr_params,
-                                m.bit_length() - 1, mesh, axis)
+        if m & (m - 1) == 0:
+            domain = FourStepDomain(self.fr, curve.fr_params,
+                                    m.bit_length() - 1, mesh, axis)
+        else:
+            # reference-default natural domain selection (extended/step,
+            # r1cs_to_qap.tcc:40-41): both subtransforms distribute as
+            # four-step NTTs, folds/CRT partition elementwise
+            domain = ShardedTwoPartDomain(
+                self.fr, curve.fr_params, base.n1.bit_length() - 1,
+                base.n2.bit_length() - 1, mesh, axis)
         full = [1] + [v % r for v in primary] + [v % r for v in auxiliary]
         assignment_mont = jnp.asarray(self.fr.encode(full))
         msm_c = max(4, default_window_bits(dev.num_variables + 1))
@@ -264,17 +269,18 @@ class Groth16(PairingSystem):
             # partitioned executables -- the round-1 dryrun timeout
             wm = getattr(pk, "_wm_sharded_jit", None)
             if wm is None:
-                def wm_fn(assign_mont, dev_arrs):
+                def wm_fn(assign_mont, dev_arrs, dt):
                     H = qap_witness_map(dev, domain, assign_mont,
-                                        dev_arrs)
+                                        dev_arrs, dt)
                     H_plain = self.fr.from_mont(H)[..., : domain.m - 1]
                     assign_plain = self.fr.from_mont(assign_mont)
                     aux_plain = assign_plain[..., dev.num_inputs + 1:]
                     return H_plain, assign_plain, aux_plain
                 wm = pk._wm_sharded_jit = (jax.jit(wm_fn),
-                                           dev.device_arrays())
+                                           dev.device_arrays(),
+                                           domain.device_tables())
             H_plain, assign_plain, aux_plain = wm[0](assignment_mont,
-                                                     wm[1])
+                                                     wm[1], wm[2])
 
             def smsm(mk, q, sc):
                 sc = self.pad_to(sc, q[0].shape[-1])  # match query bucket

@@ -32,8 +32,20 @@ class Codec:
         self.mode = mode
         self.montgomery = montgomery
         self.compress = compress
-        self.q_bytes = (curve.q.bit_length() + 7) // 8
-        self.r_bytes = (curve.r.bit_length() + 7) // 8
+        # GMP/libff layout, derived from first principles (the libff
+        # submodule is empty -- VERDICT r3 item 8): mp_limb_t is 64-bit
+        # on x86-64 and bigint<n>::data is a little-endian limb array
+        # that BINARY_OUTPUT raw-writes, so an element occupies
+        # 8*ceil(bits/64) bytes -- NOT ceil(bits/8) (they differ for
+        # e.g. the 298-bit MNT fields: 40 vs 38 bytes).
+        self.q_bytes = 8 * ((curve.q.bit_length() + 63) // 64)
+        self.r_bytes = 8 * ((curve.r.bit_length() + 63) // 64)
+        # MONTGOMERY_OUTPUT streams mont_repr = v * R_gmp mod p with
+        # R_gmp = 2^(64 * limbs) (libff Fp_model) -- independent of the
+        # TPU kernels' internal 16-bit-limb R, which can be narrower
+        # (2^304 vs 2^320 for MNT4/6).
+        self.Rq = pow(2, 8 * self.q_bytes, curve.q)
+        self.Rr = pow(2, 8 * self.r_bytes, curve.r)
 
     # ---------------------------------------------------------------- ints
     def _write_int(self, out, v: int, nbytes: int):
@@ -51,28 +63,26 @@ class Codec:
         r = self.curve.r
         v = v % r
         if self.montgomery:
-            v = v * self.curve.fr_params.R % r
+            v = v * self.Rr % r
         self._write_int(out, v, self.r_bytes)
 
     def read_fr(self, inp) -> int:
         v = self._read_int(inp, self.r_bytes)
         if self.montgomery:
-            v = v * pow(self.curve.fr_params.R, -1, self.curve.r) \
-                % self.curve.r
+            v = v * pow(self.Rr, -1, self.curve.r) % self.curve.r
         return v
 
     def write_fq(self, out, v: int):
         q = self.curve.q
         v = int(v) % q
         if self.montgomery:
-            v = v * self.curve.fq_params.R % q
+            v = v * self.Rq % q
         self._write_int(out, v, self.q_bytes)
 
     def read_fq(self, inp) -> int:
         v = self._read_int(inp, self.q_bytes)
         if self.montgomery:
-            v = v * pow(self.curve.fq_params.R, -1, self.curve.q) \
-                % self.curve.q
+            v = v * pow(self.Rq, -1, self.curve.q) % self.curve.q
         return v
 
     # --------------------------------------------------------------- points

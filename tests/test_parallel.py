@@ -73,3 +73,27 @@ def test_four_step_coset_roundtrip(bn, mesh):
     with mesh:
         back = fk.decode(dist.icoset_fft(dist.coset_fft(a)))
     assert [int(v) for v in back] == vals
+
+
+@pytest.mark.slow
+def test_prover_sharded_step_domain_pippenger(bn, mesh):
+    """prover_sharded on the reference-DEFAULT natural domain (a step
+    domain, r1cs_to_qap.tcc:40-41) with the PRODUCTION Pippenger MSM --
+    the full multi-device prove path, not the compile-lean dryrun
+    configuration (VERDICT r3 items 4/5)."""
+    from libsnark_tpu.relations.examples import generate_r1cs_example
+    from libsnark_tpu.proof_systems.groth16 import Groth16
+    from libsnark_tpu.reductions.r1cs_to_qap import qap_domain
+    from libsnark_tpu.ops.domains import TwoPartDomain
+
+    nc = 37                      # min domain 40 = 32 + 8 -> step(5, 3)
+    cs, primary, aux = generate_r1cs_example(bn.r, nc, 2)
+    g16 = Groth16(bn)
+    g16.host_keygen = True
+    kp = g16.generator(cs, seed=3)
+    base = qap_domain(g16.fr, bn.fr_params, cs)
+    assert isinstance(base, TwoPartDomain) and base.kind == "step"
+    proof = g16.prover_sharded(kp.pk, primary, aux, mesh, "dp", seed=4)
+    assert g16.verifier_strong_IC(kp.vk, primary, proof)
+    assert not g16.verifier_strong_IC(
+        kp.vk, [(primary[0] + 1) % bn.r, primary[1]], proof)

@@ -72,3 +72,41 @@ def test_groth16_verifier_gadget(bls377):
     pb.setval(bits[0], 1 - pb.val(bits[0]))
     gadget.generate_witness()      # recompute downstream witnesses
     assert pb.first_unsatisfied() is not None
+
+
+@pytest.mark.slow
+def test_groth16_verifier_gadget_rejects_off_curve_points(bls377):
+    """Proof points are constrained on-curve (reference
+    r1cs_gg_ppzksnark_verifier_gadget.tcc:54-61): witnessing an
+    off-curve g_A or g_B must leave the circuit unsatisfiable even
+    when the pairing equation would otherwise be consistent."""
+    from libsnark_tpu.gadgets.protoboard import Protoboard, PBVariableArray
+    from libsnark_tpu.gadgets.verifier_gadgets import Groth16VerifierGadget
+
+    cs, primary, aux = generate_r1cs_example(bls377.r, 4, 1)
+    vk, proof = _trapdoor_groth16(bls377, cs, primary, aux)
+
+    def build():
+        pb = Protoboard(bls377.q)
+        nbits = bls377.r.bit_length()
+        bits = PBVariableArray().allocate(pb, nbits, "input_bits")
+        gadget = Groth16VerifierGadget(pb, bls377, vk, [list(bits)])
+        bits.fill_with_bits_of_int(pb, primary[0] % bls377.r)
+        gadget.set_proof_witness(proof)
+        return pb, gadget
+
+    # off-curve g_A: bump y(A) off the curve equation
+    pb, gadget = build()
+    ya = gadget.proof_A[1].terms[0].index
+    pb._values[ya] = (pb._values[ya] + 1) % pb.p
+    gadget.generate_witness()
+    bad = pb.first_unsatisfied()
+    assert bad is not None and "g16v_proof_g1_0" in str(bad), bad
+
+    # off-curve g_B: bump one Fp2 coordinate of y(B)
+    pb, gadget = build()
+    yv = gadget._B_vars[1][0]
+    pb.setval(yv, (pb.val(yv) + 1) % pb.p)
+    gadget.generate_witness()
+    bad = pb.first_unsatisfied()
+    assert bad is not None and "g16v_proof_g2_0" in str(bad), bad
