@@ -128,7 +128,17 @@ def main():
     def drain(x):
         return [np.asarray(v) for v in jax.tree_util.tree_leaves(x)]
 
-    msm = jax.jit(lambda p, s: mk.msm(p, s, c))
+    # checksum output (same discipline as the iFFT rows): the timed
+    # program drains ONE u32 instead of 3 coordinate arrays -- each
+    # np.asarray leaf is a full tunnel round trip (~25 ms of pure RTT
+    # at 2^16, measured by the noop row of scripts/profile_fused.py),
+    # which is dispatch overhead, not MSM throughput. Real consumers
+    # (the prover) chain MSMs on device and never pay it per-MSM.
+    def cksum(tree):
+        return sum(jnp.sum(v.astype(jnp.uint32), dtype=jnp.uint32)
+                   for v in jax.tree_util.tree_leaves(tree))
+
+    msm = jax.jit(lambda p, s: cksum(mk.msm(p, s, c)))
     drain(msm(pts, fresh_scalars()))  # compile + warm
 
     scs = [fresh_scalars() for _ in range(iters)]

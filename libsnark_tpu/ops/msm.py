@@ -34,13 +34,21 @@ from .limbs import LIMB_BITS, LIMB_MASK
 
 
 def default_window_bits(m: int) -> int:
-    """Window size heuristic balancing rake work (bits/c * m) vs
+    """Window size heuristic balancing bucket work (bits/c * m) vs
     aggregation work (bits/c * 2^c * c).
 
-    Capped at 10: windows >= 11 reproducibly fault the v5e TPU worker
-    (kernel crash in the compiled rake program, observed 2026-08;
-    revisit when the toolchain moves)."""
-    return max(4, min(10, int(math.log2(max(m, 2))) - 6))
+    Measured on v5e at 2^16 (scripts/sweep_msm_c.py, fused kernel):
+    c=10 143.7ms / c=11 158 / c=12 196 / c=13 273 -- occupancy padding
+    and the suffix-scan width grow faster than the window count
+    shrinks, so c = 10 is the device optimum at the segment size.
+    MSMs beyond SEGMENT are scanned in SEGMENT-point slices, so the
+    heuristic keys on the slice size, not the total batch.
+
+    (The round-2 note about c >= 11 faulting the v5e worker applied to
+    the retired rake program; the fused-kernel sweep above ran c = 11
+    .. 13 without incident.)"""
+    m_eff = min(m, MSMKernel.SEGMENT)
+    return max(4, min(10, int(math.log2(max(m_eff, 2))) - 6))
 
 
 def _tree_map(f, *pts):
@@ -154,12 +162,22 @@ class MSMKernel:
         m = scalars.shape[-1]
         if m > self.SEGMENT and flag != "0":
             return self._window_sums_segmented(points_aff, scalars, c)
-        # LIBSNARK_TPU_MSM_FUSED=1: route through the fused Pallas
-        # bucket-reduce kernel (G1/plain-Fp only; device bring-up knob
-        # for bench.py -- interpret-verified, see test_pallas_bucket)
-        if os.environ.get("LIBSNARK_TPU_MSM_FUSED") == "1":
+        return self._window_sums_chunk(points_aff, scalars, c)
+
+    def _window_sums_chunk(self, points_aff, scalars, c: int):
+        """Window sums for one <= SEGMENT-sized batch: fused Pallas /
+        dense XLA / rake selection."""
+        flag = os.environ.get("LIBSNARK_TPU_MSM_DENSE", "auto")
+        m = scalars.shape[-1]
+        # fused Pallas bucket-reduce kernel: the TPU default for
+        # G1/plain-Fp since r4 (353k vs 223k pts/s at 2^16 over the
+        # dense XLA path). LIBSNARK_TPU_MSM_FUSED: 0 disable, 1 force
+        # (interpret off-TPU), auto = TPU G1 at dense-worthy sizes.
+        fused_flag = os.environ.get("LIBSNARK_TPU_MSM_FUSED", "auto")
+        if fused_flag != "0":
             from .pallas_ec import ec_pallas_ok
-            if ec_pallas_ok(self.fk):
+            if ec_pallas_ok(self.fk) and (fused_flag == "1"
+                                          or m >= 2048):
                 return self.window_sums_fused(points_aff, scalars, c)
         use_dense = (flag == "1" or (flag not in ("0",) and m >= 2048))
         if use_dense:
@@ -191,7 +209,7 @@ class MSMKernel:
 
         def body(acc, seg):
             px, py, pinf, sc = seg
-            Sw = self.window_sums_dense((px, py, pinf), sc, c)
+            Sw = self._window_sums_chunk((px, py, pinf), sc, c)
             # window_sums returns window-leading; accumulate limbs-first
             Sw_l = _tree_map(lambda a: jnp.moveaxis(a, 0, -2), Sw)
             return ck.add(acc, Sw_l), None
