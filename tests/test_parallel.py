@@ -97,3 +97,25 @@ def test_prover_sharded_step_domain_pippenger(bn, mesh):
     assert g16.verifier_strong_IC(kp.vk, primary, proof)
     assert not g16.verifier_strong_IC(
         kp.vk, [(primary[0] + 1) % bn.r, primary[1]], proof)
+
+
+def test_sharded_two_part_domain_matches_single(bn, mesh):
+    """ShardedTwoPartDomain fft/ifft/coset round trip == the single-chip
+    TwoPartDomain on a step domain (n1=16, n2=4; parts replicated --
+    the transform must stay correct below the distribution threshold)."""
+    from libsnark_tpu.ops.fp import FpKernel
+    from libsnark_tpu.ops.domains import TwoPartDomain
+    from libsnark_tpu.parallel.ntt_sharded import ShardedTwoPartDomain
+
+    fk = FpKernel(bn.fr_params)
+    ref = TwoPartDomain(fk, bn.fr_params, 4, 2)
+    dist = ShardedTwoPartDomain(fk, bn.fr_params, 4, 2, mesh, "dp")
+    rng = random.Random(5)
+    vals = [rng.randrange(bn.r) for _ in range(ref.m)]
+    a = jnp.asarray(fk.encode(vals))
+    want = [int(v) for v in fk.decode(ref.fft(a))]
+    with mesh:
+        got = [int(v) for v in fk.decode(dist.fft(a))]
+        back = fk.decode(dist.icoset_fft(dist.coset_fft(a)))
+    assert got == want
+    assert [int(v) for v in back] == vals
