@@ -179,14 +179,60 @@ class PairingSystem:
         cache = getattr(self, "_msm_jits", None)
         if cache is None:
             cache = self._msm_jits = {}
+        mk = self.msm_g1 if which == "g1" else self.msm_g2
+        if which != "g1" and scalars.shape[-1] > mk.SEGMENT:
+            return self._msm_affine_seg_eager(mk, q, scalars, c)
         key = (which, c)
         if key not in cache:
-            mk = self.msm_g1 if which == "g1" else self.msm_g2
             ck = mk.ck
             import jax as _jax
             cache[key] = _jax.jit(
                 lambda q, s, mk=mk, ck=ck: ck.to_affine(mk.msm(q, s, c)))
         return cache[key](q, scalars)
+
+    def _msm_affine_seg_eager(self, mk, q, scalars, c: int):
+        """Host-driven segmentation for LARGE extension-field (G2)
+        MSMs: the lax.scan segmented wrapper with the Fp2 dense body
+        crashes the v5e TPU worker (r4 bisection: a single 2^16 G2
+        segment passes, the G1 2^20 scan passes, the 16-segment G2 scan
+        faults -- scripts/probe_g2msm20.py). One chunk executable is
+        reused across segments with a jitted point-add combine; the ~16
+        extra dispatches are noise at this scale."""
+        import jax as _jax
+        import jax.numpy as jnp
+        ck = mk.ck
+        S = mk.SEGMENT
+        m = scalars.shape[-1]
+        pad = (-m) % S
+        x, y, inf = q
+        if pad:
+            cfg = lambda a, v=0: jnp.pad(
+                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                constant_values=v)
+            x, y, inf = cfg(x), cfg(y), cfg(inf, True)
+            scalars = jnp.pad(
+                scalars, [(0, 0)] * (scalars.ndim - 1) + [(0, pad)])
+        nseg = (m + pad) // S
+        cache = self._msm_jits
+        kc = ("seg_chunk", mk, c)
+        if kc not in cache:
+            cache[kc] = _jax.jit(
+                lambda pts, sc, mk=mk: tuple(
+                    jnp.moveaxis(a, 0, -2)
+                    for a in mk._window_sums_chunk(pts, sc, c)))
+            cache[("seg_comb", mk)] = _jax.jit(
+                lambda A, B, ck=ck: ck.add(A, B))
+            cache[("seg_fin", mk, c)] = _jax.jit(
+                lambda A, mk=mk, ck=ck: ck.to_affine(
+                    mk.combine_windows(
+                        tuple(jnp.moveaxis(a, -2, 0) for a in A), c)))
+        W = -(-mk.scalar_bits // c) + 1
+        acc = ck.zero((W, 1))
+        for i in range(nseg):
+            sl = (Ellipsis, slice(i * S, (i + 1) * S))
+            Sw = cache[kc]((x[sl], y[sl], inf[sl]), scalars[sl])
+            acc = cache[("seg_comb", mk)](acc, Sw)
+        return cache[("seg_fin", mk, c)](acc)
 
     def decode_g1(self, aff, lane=0):
         return self._decode_affine(self.g1, aff, self.curve.G1, lane)

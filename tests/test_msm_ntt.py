@@ -174,3 +174,35 @@ def test_lagrange_coeffs(bn):
     # t inside the domain
     Lw = dom.lagrange_coeffs_at(dom.domain_elements()[3])
     assert Lw[3] == 1 and sum(Lw) == 1
+
+
+def test_msm_affine_seg_eager_matches_scan(bn, monkeypatch):
+    """Host-driven G2 segmentation (the v5e scan-fault workaround,
+    proof_systems/base.py _msm_affine_seg_eager) == the in-jit scan
+    path, at a shrunken SEGMENT so both run at test scale."""
+    import jax.numpy as jnp
+    import numpy as np
+    from libsnark_tpu.proof_systems.groth16 import Groth16
+    from libsnark_tpu.ops.msm import MSMKernel
+    from libsnark_tpu.ops.limbs import ints_to_limbs, LIMB_BITS
+
+    g16 = Groth16(bn)
+    mk = g16.msm_g2
+    rng = np.random.default_rng(11)
+    m = 160
+    pts = [bn.G2.one() * int(rng.integers(1, 1 << 62)) for _ in range(m)]
+    pts[7] = bn.G2.zero()
+    scalars = [int(rng.integers(0, 1 << 62)) for _ in range(m)]
+    scalars[3] = 0
+    paff = g16.g2.encode_points(pts, jacobian=False)
+    nl = -(-bn.r.bit_length() // LIMB_BITS)
+    sc = jnp.asarray(ints_to_limbs(scalars, nl))
+
+    expect = bn.G2.zero()
+    for P, s in zip(pts, scalars):
+        expect = expect + P * s
+
+    monkeypatch.setattr(MSMKernel, "SEGMENT", 64)
+    aff = g16.msm_affine("g2", paff, sc, 6)
+    got = g16.decode_g2(aff)
+    assert got == expect
