@@ -308,6 +308,40 @@ class MSMKernel:
             starts = jnp.cumsum(counts, axis=-1) - counts
         return order, starts, counts.at[:, 0].set(0)
 
+    def _sort_signed_bounds(self, digits, signs, m, B, c):
+        """Per-window sort with the digit SIGN packed into the key:
+        key = (|digit| << (idx_bits+1)) | (sign << idx_bits) | idx.
+
+        The sorted key directly yields the signed row index
+        (idx + sign*m) into a doubled [P | -P] table -- no
+        take_along_axis for signs and no separate order gather (the
+        r4 pipeline spent ~20 ms of the 2^16 MSM on exactly that
+        lane-axis take, scripts/probe_gather4.py). Returns
+        (gidx, starts, counts) with bucket 0 zeroed; falls back to the
+        general argsort path when the bits don't fit."""
+        idx_bits = max(1, (m - 1).bit_length())
+        if (c - 1) + 1 + idx_bits + 1 <= 32:
+            iota = jax.lax.broadcasted_iota(jnp.uint32, digits.shape, 1)
+            packed = ((digits.astype(jnp.uint32) << (idx_bits + 1))
+                      | (signs.astype(jnp.uint32) << idx_bits) | iota)
+            skey = jnp.sort(packed, axis=-1)
+            gidx = (skey & ((1 << (idx_bits + 1)) - 1)).astype(jnp.int32)
+            if m != (1 << idx_bits):
+                sgn = gidx >> idx_bits
+                gidx = (gidx & ((1 << idx_bits) - 1)) + sgn * m
+            dig_s = (skey >> (idx_bits + 1)).astype(jnp.int32)
+            targets = jnp.arange(B + 2, dtype=jnp.int32)
+            bounds = jax.vmap(
+                lambda d: jnp.searchsorted(d, targets))(dig_s)
+            starts = bounds[:, : B + 1].astype(jnp.int32)
+            counts = (bounds[:, 1: B + 2] - bounds[:, : B + 1]
+                      ).astype(jnp.int32)
+            return gidx, starts, counts.at[:, 0].set(0)
+        order, starts, counts = self._sort_and_bounds(digits, m, B, c)
+        sgn_sorted = jnp.take_along_axis(signs, order, axis=-1)
+        gidx = order + sgn_sorted.astype(jnp.int32) * m
+        return gidx, starts, counts
+
     def _tree_reduce_points(self, P):
         """Reduce a Jacobian point array over its LAST batch axis with a
         log-depth add tree.
@@ -554,7 +588,8 @@ class MSMKernel:
         # outer chunk passes
         R = -(-max(min(rounds_pad, 256), R_SUB) // R_SUB) * R_SUB
 
-        order, starts, counts = self._sort_and_bounds(digits, m, B, c)
+        gidx, starts, counts = self._sort_signed_bounds(
+            digits, signs, m, B, c)
 
         # doubled row table [P | -P]; infinity -> all-zero rows
         live = jnp.logical_not(inf)[:, None]             # (m, 1)
@@ -564,13 +599,12 @@ class MSMKernel:
             [xr, jnp.where(live, fk.neg(y).T, 0)], axis=1)
         rows_all = jnp.concatenate([rows_pos, rows_neg], axis=0)  # (2m,2N)
 
-        # per-sorted-position row index with signs baked in
-        sgn_sorted = jnp.take_along_axis(signs, order, axis=-1)
-        gidx_flat = (order + sgn_sorted.astype(jnp.int32) * m).reshape(-1)
+        # per-sorted-position signed row index (from the packed sort)
+        gidx_flat = gidx.reshape(-1)
         woff = (jnp.arange(W, dtype=jnp.int32) * m)[:, None]
         starts_g = starts + woff                         # global offsets
 
-        def reduce_group(w_lo, w_hi, nb_g, R_g, V=1):
+        def reduce_group(w_lo, w_hi, nb_g, R_g, V=1, R_lo=None):
             """Fused bucket reduction for windows [w_lo, w_hi) over
             buckets [0, nb_g), chunk depth R_g; an outer while_loop
             re-gathers for buckets deeper than V*R_g (extra passes cost
@@ -582,7 +616,16 @@ class MSMKernel:
             recombined with a log-depth point tree -- the skewed-bucket
             fix (a partial top window has ~m/2^eff points per bucket;
             one lane per bucket would grind ~occ/R_g re-gather passes:
-            measured 40 ms of the 184 ms 2^16 MSM before this)."""
+            measured 40 ms of the 184 ms 2^16 MSM before this).
+
+            R_lo < R_g enables TWO-CLASS gather depth (r5): count-sorted
+            packing puts the deepest buckets in the first tiles, so only
+            a ~3% head of tiles is gathered at full depth R_g; the tail
+            gathers at R_lo ~ mean + 2.2 sigma. The gather is the cost
+            being cut (rows gathered ~ T*R*128 regardless of occupancy);
+            the kernel already charges per-tile actual trip counts.
+            Overflow beyond either depth is caught by the same chunk
+            while_loop (extreme-value tails, adversarial inputs)."""
             Wn = w_hi - w_lo
             st = jax.lax.slice(starts_g, (w_lo, 0), (w_hi, nb_g))
             ct = jax.lax.slice(counts, (w_lo, 0), (w_hi, nb_g))
@@ -607,30 +650,52 @@ class MSMKernel:
             sfl = jnp.take(sfl, perm)
             cfl = jnp.take(cfl, perm)
             T = nb_pad // B_TILE
-            R2 = R_g // R_SUB
-            sf = sfl.reshape(T, B_TILE)
-            i_idx = jnp.arange(R2, dtype=jnp.int32)
-            r_idx = jnp.arange(R_SUB, dtype=jnp.int32)
-            # static per-chunk offset skeleton, lane layout (i, r, j)
-            off = (i_idx[:, None, None] * R_SUB
-                   + r_idx[None, :, None])               # (R2, R_SUB, 1)
+            # two-class split: head tiles at depth R_g, tail at R_lo
+            if R_lo is not None and R_lo < R_g and T >= 8:
+                T_hi = max(1, -(-T // 32))
+            else:
+                T_hi, R_lo = T, R_g
+            classes = [(0, T_hi, R_g)]
+            if T_hi < T:
+                classes.append((T_hi, T, R_lo))
             max_count = jnp.max(cfl)
+            cls_data = []
+            for (t0, t1, R_c) in classes:
+                lo, hi = t0 * B_TILE, t1 * B_TILE
+                sf_c = sfl[lo:hi].reshape(t1 - t0, B_TILE)
+                cf_c = cfl[lo:hi]
+                R2 = R_c // R_SUB
+                i_idx = jnp.arange(R2, dtype=jnp.int32)
+                r_idx = jnp.arange(R_SUB, dtype=jnp.int32)
+                # static per-chunk offset skeleton, lane layout (i,r,j)
+                off = (i_idx[:, None, None] * R_SUB
+                       + r_idx[None, :, None])           # (R2, R_SUB, 1)
+                cls_data.append((sf_c, cf_c, off, R_c, t1 - t0))
 
             def chunk(t, accb):
-                pos = sf[:, None, None, :] + t * R_g + off
-                rg = jnp.take(gidx_flat,
-                              jnp.clip(pos, 0, W * m - 1).reshape(-1))
-                g = jnp.take(rows_all, rg, axis=0)       # (K, 2N)
-                G = jnp.transpose(
-                    g.reshape(T, R_g * B_TILE, 2 * N), (0, 2, 1))
-                cta = jnp.clip(cfl - t * R_g, 0, R_g)
-                X, Y, Z = bucket_reduce(fk, G, cta, R_g,
-                                        interpret=interpret)
-                return ck.add(accb, (X, Y, Z))
+                outs = []
+                for sf_c, cf_c, off, R_c, T_c in cls_data:
+                    pos = sf_c[:, None, None, :] + t * R_c + off
+                    rg = jnp.take(
+                        gidx_flat,
+                        jnp.clip(pos, 0, W * m - 1).reshape(-1))
+                    g = jnp.take(rows_all, rg, axis=0)   # (K, 2N)
+                    G = jnp.transpose(
+                        g.reshape(T_c, R_c * B_TILE, 2 * N), (0, 2, 1))
+                    cta = jnp.clip(cf_c - t * R_c, 0, R_c)
+                    outs.append(bucket_reduce(fk, G, cta, R_c,
+                                              interpret=interpret))
+                XYZ = _tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=-1), *outs)
+                return ck.add(accb, XYZ)
 
             def cond(state):
                 t, _ = state
-                return t * R_g < max_count
+                # every class exhausts its own depth schedule; the
+                # slowest class keeps the loop alive
+                alive = [t * R_c < jnp.max(cf_c)
+                         for _, cf_c, _, R_c, _ in cls_data]
+                return functools.reduce(jnp.logical_or, alive)
 
             def body(state):
                 t, accb = state
@@ -658,7 +723,13 @@ class MSMKernel:
         W_full = min(W, self.scalar_bits // c)
         groups = []
         if W_full > 0:
-            groups.append(reduce_group(0, W_full, B + 1, R))
+            # tail-class depth: mean + 2.2 sigma (binomial occupancy);
+            # the ~3% head of count-sorted tiles keeps the full R
+            mean = m / B
+            R_tail = int(mean + 2.2 * math.sqrt(max(mean, 1.0)) + 4)
+            R_tail = -(-max(min(R_tail, R), R_SUB) // R_SUB) * R_SUB
+            groups.append(reduce_group(0, W_full, B + 1, R,
+                                       R_lo=R_tail))
         for w in range(W_full, W):
             eff = max(0, min(c, self.scalar_bits - c * w))
             prev_eff = max(0, min(c, self.scalar_bits - c * (w - 1)))

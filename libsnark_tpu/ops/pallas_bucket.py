@@ -66,7 +66,8 @@ def _ec_add(F, P, Q):
 
 @functools.lru_cache(maxsize=None)
 def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
-                         num_buckets: int, R: int, interpret: bool = False):
+                         num_buckets: int, R: int, interpret: bool = False,
+                         r_sub: int = R_SUB):
     """pallas_call: (G, counts) -> (X, Y, Z) bucket sums.
 
     G:      (T, 2N, R*B_TILE) uint32 gathered rows, T = num_buckets /
@@ -76,6 +77,9 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
     counts: (1, T, B_TILE) int32 per-bucket occupancies (<= R enforced
             by the caller's chunk loop)
     out:    three (N, num_buckets) uint32 Jacobian coordinate arrays
+
+    r_sub:  rows madd-accumulated per phase-1 step (phase-2 tree depth
+            = log2(r_sub)); R % r_sub == 0.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -83,9 +87,11 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
 
     p_np = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
     one_np = np.array(one_mont, dtype=np.uint32).reshape(N, 1)
-    assert num_buckets % B_TILE == 0 and R % R_SUB == 0
+    assert num_buckets % B_TILE == 0 and R % r_sub == 0
+    assert r_sub & (r_sub - 1) == 0 and r_sub >= 1
     T = num_buckets // B_TILE
-    LEVELS = R_SUB.bit_length() - 1           # log2(R_SUB)
+    LEVELS = r_sub.bit_length() - 1           # log2(r_sub)
+    CW = r_sub * B_TILE                       # phase-1 compute width
 
     def _repair(F, nd, Xp, Yp, Zp, X, Y, Z):
         def fix(_):
@@ -100,8 +106,8 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
 
         maxc = jnp.max(cnt)
         # per-lane counts / chunk-row index in the (r, j) lane layout
-        cnt_l = jnp.concatenate([cnt] * R_SUB, axis=-1)    # (1, CW)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CW), 1)
+        cnt_l = jnp.concatenate([cnt] * r_sub, axis=-1)    # (1, CW)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
         r_loc = jax.lax.shift_right_logical(lane, 7)       # lane//128
 
         zero2 = jnp.zeros((N, B_TILE), jnp.uint32)
@@ -111,27 +117,35 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
         def _():
             def p1_body(i, acc):
                 Xp, Yp, Zp = acc
-                chunk = g_ref[0, :, pl.ds(i * _CW, _CW)]   # (2N, CW)
+                chunk = g_ref[0, :, pl.ds(i * CW, CW)]     # (2N, CW)
                 cx = chunk[:N]
                 cy = chunk[N:]
-                q_inf = jnp.logical_or(i * R_SUB + r_loc >= cnt_l,
+                q_inf = jnp.logical_or(i * r_sub + r_loc >= cnt_l,
                                        _fzero_mask(cy))
                 valid = jnp.ones_like(q_inf)
                 X, Y, Z, nd = _ec_madd_flag(F, Xp, Yp, Zp, cx, cy,
                                             q_inf, valid)
                 return _repair(F, nd, Xp, Yp, Zp, X, Y, Z)
 
-            trips = jax.lax.div(maxc + (R_SUB - 1), jnp.int32(R_SUB))
-            zcw = jnp.zeros((N, _CW), jnp.uint32)
+            trips = jax.lax.div(maxc + (r_sub - 1), jnp.int32(r_sub))
+            # trip 0 peeled: the accumulator starts at infinity, so a
+            # madd would just select Q -- lift chunk 0 directly (dead
+            # lanes get Z = 0 = infinity) and loop from trip 1.
+            chunk0 = g_ref[0, :, pl.ds(0, CW)]
+            cx0 = chunk0[:N]
+            cy0 = chunk0[N:]
+            dead0 = jnp.logical_or(r_loc >= cnt_l, _fzero_mask(cy0))
+            Z0 = jnp.where(dead0, jnp.zeros((N, CW), jnp.uint32),
+                           F.one(cx0))
             X, Y, Z = jax.lax.fori_loop(
-                0, trips, p1_body, (zcw, zcw, zcw))
+                1, trips, p1_body, (cx0, cy0, Z0))
 
             def p2_body(k, acc):
                 Xp, Yp, Zp = acc
-                sh = jax.lax.shift_right_logical(jnp.int32(_CW), k + 1)
-                Qx = pltpu.roll(Xp, _CW - sh, 1)
-                Qy = pltpu.roll(Yp, _CW - sh, 1)
-                Qz = pltpu.roll(Zp, _CW - sh, 1)
+                sh = jax.lax.shift_right_logical(jnp.int32(CW), k + 1)
+                Qx = pltpu.roll(Xp, CW - sh, 1)
+                Qy = pltpu.roll(Yp, CW - sh, 1)
+                Qz = pltpu.roll(Zp, CW - sh, 1)
                 X2, Y2, Z2, nd = _ec_add_flag(F, Xp, Yp, Zp, Qx, Qy, Qz)
                 return _repair(F, nd, Xp, Yp, Zp, X2, Y2, Z2)
 
@@ -161,7 +175,7 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
     return call
 
 
-def bucket_reduce(fk, G, counts, R: int, interpret=False):
+def bucket_reduce(fk, G, counts, R: int, interpret=False, r_sub=R_SUB):
     """Reduce gathered interleaved point rows into per-bucket Jacobian
     sums.
 
@@ -171,10 +185,10 @@ def bucket_reduce(fk, G, counts, R: int, interpret=False):
     """
     nb = counts.shape[0]
     assert nb % B_TILE == 0, f"num_buckets {nb} % {B_TILE} != 0"
-    assert R % R_SUB == 0, f"R {R} % {R_SUB} != 0"
+    assert R % r_sub == 0, f"R {R} % {r_sub} != 0"
     fn = _build_bucket_reduce(
         fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np),
-        nb, R, interpret)
+        nb, R, interpret, r_sub)
     return fn(G, counts)
 
 

@@ -1,0 +1,129 @@
+"""Probe: split the fused-MSM front-end cost — sort / index math /
+row gather / transpose — on the real chip (r5).
+
+usage: probe_gather3.py [log2m] [c]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.pop("PYTHONPATH", None)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo, ".jax_cache_tpu"
+                               if jax.default_backend() == "tpu"
+                               else ".jax_cache_local"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from libsnark_tpu import get_curve
+from libsnark_tpu.ops.fp import FpKernel
+from libsnark_tpu.ops.ec import CurveKernel
+from libsnark_tpu.ops.msm import MSMKernel
+from libsnark_tpu.ops.limbs import LIMB_BITS
+from libsnark_tpu.ops.pallas_bucket import B_TILE, R_SUB
+
+import math
+
+logm = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+c = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+m = 1 << logm
+curve = get_curve("alt_bn128")
+fq = FpKernel(curve.fq_params)
+ck = CurveKernel(fq, "G1")
+mk = MSMKernel(ck, curve.r.bit_length())
+print(f"# backend={jax.default_backend()} m=2^{logm} c={c}", flush=True)
+
+rng = np.random.default_rng(0)
+nl = -(-curve.r.bit_length() // LIMB_BITS)
+x = jnp.asarray(rng.integers(0, 1 << 16, size=(fq.N, m), dtype=np.uint32))
+y = jnp.asarray(rng.integers(0, 1 << 16, size=(fq.N, m), dtype=np.uint32))
+inf = jnp.zeros((m,), dtype=bool)
+B = 1 << (c - 1)
+W = -(-curve.r.bit_length() // c) + 1
+W_full = curve.r.bit_length() // c
+mean = m / B
+R = int(mean + 1.35 * math.sqrt(2.0 * mean * math.log(W * B)) + 8)
+R = -(-max(min(R, 256), R_SUB) // R_SUB) * R_SUB
+nbf = W_full * (B + 1)
+nb_pad = -(-nbf // B_TILE) * B_TILE
+T = nb_pad // B_TILE
+print(f"# W={W} W_full={W_full} B={B} R={R} T={T} rows={T*R*B_TILE/1e6:.2f}M",
+      flush=True)
+
+
+def fresh_scalars():
+    s = rng.integers(0, 1 << 16, size=(nl, m), dtype=np.uint32)
+    s[-1] &= 0x2FFF
+    return jax.device_put(jnp.asarray(s))
+
+
+def cksum(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.sum(v.astype(jnp.uint32) if v.dtype != jnp.uint32
+                       else v, dtype=jnp.uint32) for v in leaves)
+
+
+def timeit(name, fn, reps=3):
+    np.asarray(fn(fresh_scalars()))
+    best = 1e9
+    for _ in range(reps):
+        s = fresh_scalars()
+        np.asarray(s)
+        t0 = time.perf_counter()
+        np.asarray(fn(s))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:34s} {best*1e3:9.2f} ms", flush=True)
+    return best
+
+
+def front(s, stage):
+    digits, signs = mk.signed_digits(s, c)
+    if stage == "digits":
+        return cksum(digits) + cksum(signs)
+    order, starts, counts = mk._sort_and_bounds(digits, m, B, c)
+    if stage == "sort":
+        return cksum(order) + cksum(starts) + cksum(counts)
+    live = jnp.logical_not(inf)[:, None]
+    xr = jnp.where(live, x.T, 0)
+    rows_all = jnp.concatenate([
+        jnp.concatenate([xr, jnp.where(live, y.T, 0)], axis=1),
+        jnp.concatenate([xr, jnp.where(live, fq.neg(y).T, 0)], axis=1)],
+        axis=0)
+    sgn = jnp.take_along_axis(signs, order, axis=-1)
+    gidx_flat = (order + sgn.astype(jnp.int32) * m).reshape(-1)
+    woff = (jnp.arange(W, dtype=jnp.int32) * m)[:, None]
+    st = (starts + woff)[:W_full].reshape(-1)
+    ct = counts[:W_full].reshape(-1)
+    if nb_pad != nbf:
+        st = jnp.pad(st, (0, nb_pad - nbf))
+        ct = jnp.pad(ct, (0, nb_pad - nbf))
+    sf = st.reshape(T, B_TILE)
+    R2 = R // R_SUB
+    i_idx = jnp.arange(R2, dtype=jnp.int32)
+    r_idx = jnp.arange(R_SUB, dtype=jnp.int32)
+    off = i_idx[:, None, None] * R_SUB + r_idx[None, :, None]
+    pos = sf[:, None, None, :] + off
+    rg = jnp.take(gidx_flat, jnp.clip(pos, 0, W * m - 1).reshape(-1))
+    if stage == "index":
+        return cksum(rg)
+    g = jnp.take(rows_all, rg, axis=0)
+    if stage == "gather":
+        return cksum(g)
+    G = jnp.transpose(g.reshape(T, R * B_TILE, 2 * fq.N), (0, 2, 1))
+    return cksum(G)
+
+
+timeit("noop", jax.jit(lambda s: cksum(s)))
+timeit("digits", jax.jit(lambda s: front(s, "digits")))
+timeit("+ sort/bounds", jax.jit(lambda s: front(s, "sort")))
+timeit("+ index math", jax.jit(lambda s: front(s, "index")))
+timeit("+ row gather", jax.jit(lambda s: front(s, "gather")))
+timeit("+ transpose", jax.jit(lambda s: front(s, "all")))
