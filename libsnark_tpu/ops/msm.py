@@ -570,7 +570,12 @@ class MSMKernel:
         the actual occupancy, so skewed buckets cost compute
         proportional to their size (extra outer chunk passes re-gather,
         but their exhausted tiles exit immediately)."""
-        from .pallas_bucket import bucket_reduce, B_TILE, R_SUB
+        from .pallas_bucket import bucket_reduce, B_TILE
+        from .pallas_bucket import R_SUB as _R_SUB_DEFAULT
+        # phase-1 sub-chunk rows (phase-2 tree depth = log2): 8 default,
+        # env-tunable for device sweeps (scripts/sweep_msm_c.py)
+        R_SUB = int(os.environ.get("LIBSNARK_TPU_MSM_RSUB",
+                                   str(_R_SUB_DEFAULT)))
         ck, fk = self.ck, self.fk
         N = fk.N
         m = scalars.shape[-1]
@@ -684,7 +689,8 @@ class MSMKernel:
                         g.reshape(T_c, R_c * B_TILE, 2 * N), (0, 2, 1))
                     cta = jnp.clip(cf_c - t * R_c, 0, R_c)
                     outs.append(bucket_reduce(fk, G, cta, R_c,
-                                              interpret=interpret))
+                                              interpret=interpret,
+                                              r_sub=R_SUB))
                 XYZ = _tree_map(
                     lambda *xs: jnp.concatenate(xs, axis=-1), *outs)
                 return ck.add(accb, XYZ)

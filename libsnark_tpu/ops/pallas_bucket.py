@@ -54,7 +54,11 @@ from .pallas_ec import _ec_add_flag, _ec_madd_flag
 # buckets per grid step (one full lane dim)
 B_TILE = 128
 # rows madd-accumulated per phase-1 step
-R_SUB = 8
+# rows madd-accumulated per phase-1 step. r5 device sweep at 2^16/c=10
+# (LIBSNARK_TPU_MSM_RSUB): 8 -> 116.6 ms, 4 -> 99.8, 2 -> 99.2, 16 ->
+# 143.8. Phase-2 tree work scales with R_SUB*B_TILE lanes per level *
+# log2(R_SUB) levels, phase-1 trip count with 1/R_SUB: 4 balances them.
+R_SUB = 4
 # phase-1 compute width
 _CW = R_SUB * B_TILE
 
