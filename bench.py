@@ -238,6 +238,47 @@ def main():
     except Exception as e:  # secondary metrics must never break the bench
         print(f"# ntt bench failed: {e!r}", file=sys.stderr)
     try:
+        # G2 (Fp2) fused MSM -- the kc B-query cost
+        # (r1cs_gg_ppzksnark.tcc:544-556); c = 11 is the r5 device
+        # optimum (VMEM R-cap binds at c = 10 for double-width rows)
+        if os.environ.get("BENCH_G2", "1") == "1":
+            from libsnark_tpu.ops.fp2 import Fp2Kernel
+            fq2b = Fp2Kernel(FpKernel(curve.fq_params),
+                             int(curve.Fq2.NON_RESIDUE))
+            ck2 = CurveKernel(fq2b, f"{curve.name}.G2")
+            mk2 = MSMKernel(ck2, curve.r.bit_length())
+            x2 = jnp.asarray(rng.integers(
+                0, 1 << 16, size=(2, fq.N, m), dtype=np.uint32))
+            y2 = jnp.asarray(rng.integers(
+                0, 1 << 16, size=(2, fq.N, m), dtype=np.uint32))
+            inf2 = jnp.zeros((m,), dtype=bool)
+            c2 = 11
+
+            def g2_chain(sc):
+                a = cksum(mk2.msm((x2, y2, inf2), sc, c2))
+                s2 = sc.at[0].set(sc[0] ^ (a & 0xFF))
+                b = cksum(mk2.msm((x2, y2, inf2), s2, c2))
+                return a + b
+
+            g2fn = jax.jit(g2_chain)
+            drain(g2fn(fresh_scalars()))
+            g2t = []
+            for _ in range(iters):
+                sA = fresh_scalars()
+                drain(sA)
+                t0 = time.monotonic()
+                drain(g2fn(sA))
+                g2t.append((time.monotonic() - t0) / 2)
+            extras.append({
+                "metric": f"msm_g2_points_per_s_2e{log2m}",
+                "value": round(m / min(g2t), 1),
+                "unit": "points/s/chip",
+                "seconds": round(min(g2t), 4)})
+            print(f"# g2 msm 2^{log2m} c={c2} best={min(g2t):.4f}s",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# g2 msm bench failed: {e!r}", file=sys.stderr)
+    try:
         # CPU smoke runs must not clobber the committed TPU numbers
         name = ("BENCH_EXTRA.json" if jax.devices()[0].platform != "cpu"
                 else "BENCH_EXTRA_CPU.json")

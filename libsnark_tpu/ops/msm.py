@@ -176,8 +176,11 @@ class MSMKernel:
         fused_flag = os.environ.get("LIBSNARK_TPU_MSM_FUSED", "auto")
         if fused_flag != "0":
             from .pallas_ec import ec_pallas_ok
-            if ec_pallas_ok(self.fk) and (fused_flag == "1"
-                                          or m >= 2048):
+            # mul_by_a gate: the fused kernel bodies hard-code a = 0
+            # (dbl-2009-l); generic-a curves (MNT cycle) stay on the
+            # dense path whose group ops route through CurveKernel
+            if (ec_pallas_ok(self.fk) and self.ck.mul_by_a is None
+                    and (fused_flag == "1" or m >= 2048)):
                 return self.window_sums_fused(points_aff, scalars, c)
         use_dense = (flag == "1" or (flag not in ("0",) and m >= 2048))
         if use_dense:
@@ -578,6 +581,12 @@ class MSMKernel:
                                    str(_R_SUB_DEFAULT)))
         ck, fk = self.ck, self.fk
         N = fk.N
+        # ext = 2: Fp2 coordinates (a = 0 G2 twists) -- rows are
+        # [x0 x1 | y0 y1], the kernel runs the same formulas through
+        # the _F2 bundle (r5; kc B-query MSM,
+        # r1cs_gg_ppzksnark.tcc:544-556)
+        ext = 2 if hasattr(fk, "fp") else 1
+        FW = ext * N
         m = scalars.shape[-1]
         B = 1 << (c - 1)
         x, y, inf = points_aff
@@ -588,21 +597,25 @@ class MSMKernel:
             mean = m / B
             rounds_pad = int(mean + 1.35 * math.sqrt(
                 2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
-        # multiple of R_SUB, capped so the kernel's (2N, R*128) block
-        # stays within VMEM (~4 MB at N=16); deeper buckets take extra
-        # outer chunk passes
-        R = -(-max(min(rounds_pad, 256), R_SUB) // R_SUB) * R_SUB
+        # multiple of R_SUB, capped so the kernel's (2*FW, R*128) block
+        # stays within a ~4 MB VMEM budget (double-buffered by the
+        # pipeline); deeper buckets take extra outer chunk passes
+        R_CAP = max(R_SUB, (4 << 20) // (2 * FW * B_TILE * 4))
+        R = -(-max(min(rounds_pad, R_CAP), R_SUB) // R_SUB) * R_SUB
 
         gidx, starts, counts = self._sort_signed_bounds(
             digits, signs, m, B, c)
 
         # doubled row table [P | -P]; infinity -> all-zero rows
         live = jnp.logical_not(inf)[:, None]             # (m, 1)
-        xr = jnp.where(live, x.T, 0)
-        rows_pos = jnp.concatenate([xr, jnp.where(live, y.T, 0)], axis=1)
+        x2 = x.reshape(FW, m)
+        y2 = y.reshape(FW, m)
+        yn2 = fk.neg(y).reshape(FW, m)
+        xr = jnp.where(live, x2.T, 0)
+        rows_pos = jnp.concatenate([xr, jnp.where(live, y2.T, 0)], axis=1)
         rows_neg = jnp.concatenate(
-            [xr, jnp.where(live, fk.neg(y).T, 0)], axis=1)
-        rows_all = jnp.concatenate([rows_pos, rows_neg], axis=0)  # (2m,2N)
+            [xr, jnp.where(live, yn2.T, 0)], axis=1)
+        rows_all = jnp.concatenate([rows_pos, rows_neg], axis=0)  # (2m,2FW)
 
         # per-sorted-position signed row index (from the packed sort)
         gidx_flat = gidx.reshape(-1)
@@ -684,15 +697,19 @@ class MSMKernel:
                     rg = jnp.take(
                         gidx_flat,
                         jnp.clip(pos, 0, W * m - 1).reshape(-1))
-                    g = jnp.take(rows_all, rg, axis=0)   # (K, 2N)
+                    g = jnp.take(rows_all, rg, axis=0)   # (K, 2FW)
                     G = jnp.transpose(
-                        g.reshape(T_c, R_c * B_TILE, 2 * N), (0, 2, 1))
+                        g.reshape(T_c, R_c * B_TILE, 2 * FW), (0, 2, 1))
                     cta = jnp.clip(cf_c - t * R_c, 0, R_c)
                     outs.append(bucket_reduce(fk, G, cta, R_c,
                                               interpret=interpret,
                                               r_sub=R_SUB))
                 XYZ = _tree_map(
                     lambda *xs: jnp.concatenate(xs, axis=-1), *outs)
+                if ext == 2:
+                    # (2N, nb) kernel rows -> (2, N, nb) Fp2 coords
+                    XYZ = _tree_map(
+                        lambda a: a.reshape(2, N, a.shape[-1]), XYZ)
                 return ck.add(accb, XYZ)
 
             def cond(state):
@@ -777,10 +794,16 @@ class MSMKernel:
         kernel launches."""
         ck = self.ck
         from .pallas_ec import ec_pallas_ok
-        if ec_pallas_ok(self.fk):
+        if ec_pallas_ok(self.fk) and self.ck.mul_by_a is None:
             from .pallas_bucket import horner_combine
-            flat = tuple(jnp.moveaxis(a, 0, -2)[..., 0] for a in S)
+            W = S[0].shape[0]
+            ext = 2 if hasattr(self.fk, "fp") else 1
+            FW = ext * self.fk.N
+            flat = tuple(
+                jnp.moveaxis(a, 0, -2)[..., 0].reshape(FW, W) for a in S)
             out = horner_combine(self.fk, flat, c)
+            if ext == 2:
+                out = tuple(a.reshape(2, self.fk.N, 1) for a in out)
             return out
         # MSB window first
         S_rev = _tree_map(lambda a: jnp.flip(a, axis=0), S)

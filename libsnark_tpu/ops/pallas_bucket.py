@@ -49,7 +49,7 @@ import numpy as np
 
 from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
 from .pallas_fp import _F, _fselect, _fzero_mask
-from .pallas_ec import _ec_add_flag, _ec_madd_flag
+from .pallas_ec import _ec_add_flag, _ec_madd_flag, _fk_info, _make_F
 
 # buckets per grid step (one full lane dim)
 B_TILE = 128
@@ -71,19 +71,26 @@ def _ec_add(F, P, Q):
 @functools.lru_cache(maxsize=None)
 def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
                          num_buckets: int, R: int, interpret: bool = False,
-                         r_sub: int = R_SUB):
+                         r_sub: int = R_SUB, ext: int = 1,
+                         beta_small: int = 0, beta_neg: bool = False,
+                         b_tile: int = B_TILE):
     """pallas_call: (G, counts) -> (X, Y, Z) bucket sums.
 
-    G:      (T, 2N, R*B_TILE) uint32 gathered rows, T = num_buckets /
-            B_TILE tiles; lane layout (i, r, j) as in the module doc
-            (tile index LEADS: Mosaic requires the last two block dims
-            to be (8, 128)-divisible or full)
-    counts: (1, T, B_TILE) int32 per-bucket occupancies (<= R enforced
+    G:      (T, 2*FW, R*b_tile) uint32 gathered rows (FW = ext*N field
+            rows: x limbs then y limbs; Fp2 rows are [x0 x1 | y0 y1]),
+            T = num_buckets / b_tile tiles; lane layout (i, r, j) as in
+            the module doc (tile index LEADS: Mosaic requires the last
+            two block dims to be (8, 128)-divisible or full)
+    counts: (1, T, b_tile) int32 per-bucket occupancies (<= R enforced
             by the caller's chunk loop)
-    out:    three (N, num_buckets) uint32 Jacobian coordinate arrays
+    out:    three (FW, num_buckets) uint32 Jacobian coordinate arrays
 
     r_sub:  rows madd-accumulated per phase-1 step (phase-2 tree depth
             = log2(r_sub)); R % r_sub == 0.
+    ext:    1 = plain Fp (G1), 2 = Fp2 via _F2 (a = 0 G2 twists --
+            the B-query MSM of r1cs_gg_ppzksnark.tcc:544-556).
+    b_tile: buckets per grid step; 64 for Fp2 keeps the (2*FW,
+            R*b_tile) block inside the VMEM budget.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -91,11 +98,14 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
 
     p_np = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
     one_np = np.array(one_mont, dtype=np.uint32).reshape(N, 1)
-    assert num_buckets % B_TILE == 0 and R % r_sub == 0
+    assert num_buckets % b_tile == 0 and R % r_sub == 0
     assert r_sub & (r_sub - 1) == 0 and r_sub >= 1
-    T = num_buckets // B_TILE
+    assert b_tile & (b_tile - 1) == 0 and b_tile >= 8
+    FW = ext * N
+    T = num_buckets // b_tile
     LEVELS = r_sub.bit_length() - 1           # log2(r_sub)
-    CW = r_sub * B_TILE                       # phase-1 compute width
+    CW = r_sub * b_tile                       # phase-1 compute width
+    BT_SHIFT = b_tile.bit_length() - 1
 
     def _repair(F, nd, Xp, Yp, Zp, X, Y, Z):
         def fix(_):
@@ -105,25 +115,26 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
         return jax.lax.cond(jnp.any(nd), fix, lambda _: (X, Y, Z), None)
 
     def kernel(p_ref, one_ref, g_ref, cnt_ref, ox, oy, oz):
-        F = _F(p_ref[...], n0inv, one_ref[...])
-        cnt = cnt_ref[0]                       # (1, B_TILE) int32
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
+        cnt = cnt_ref[0]                       # (1, b_tile) int32
 
         maxc = jnp.max(cnt)
         # per-lane counts / chunk-row index in the (r, j) lane layout
         cnt_l = jnp.concatenate([cnt] * r_sub, axis=-1)    # (1, CW)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
-        r_loc = jax.lax.shift_right_logical(lane, 7)       # lane//128
+        r_loc = jax.lax.shift_right_logical(lane, BT_SHIFT)
 
-        zero2 = jnp.zeros((N, B_TILE), jnp.uint32)
+        zero2 = jnp.zeros((FW, b_tile), jnp.uint32)
         ox[...], oy[...], oz[...] = zero2, zero2, zero2
 
         @pl.when(maxc > 0)
         def _():
             def p1_body(i, acc):
                 Xp, Yp, Zp = acc
-                chunk = g_ref[0, :, pl.ds(i * CW, CW)]     # (2N, CW)
-                cx = chunk[:N]
-                cy = chunk[N:]
+                chunk = g_ref[0, :, pl.ds(i * CW, CW)]     # (2FW, CW)
+                cx = chunk[:FW]
+                cy = chunk[FW:]
                 q_inf = jnp.logical_or(i * r_sub + r_loc >= cnt_l,
                                        _fzero_mask(cy))
                 valid = jnp.ones_like(q_inf)
@@ -136,10 +147,10 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
             # madd would just select Q -- lift chunk 0 directly (dead
             # lanes get Z = 0 = infinity) and loop from trip 1.
             chunk0 = g_ref[0, :, pl.ds(0, CW)]
-            cx0 = chunk0[:N]
-            cy0 = chunk0[N:]
+            cx0 = chunk0[:FW]
+            cy0 = chunk0[FW:]
             dead0 = jnp.logical_or(r_loc >= cnt_l, _fzero_mask(cy0))
-            Z0 = jnp.where(dead0, jnp.zeros((N, CW), jnp.uint32),
+            Z0 = jnp.where(dead0, jnp.zeros((FW, CW), jnp.uint32),
                            F.one(cx0))
             X, Y, Z = jax.lax.fori_loop(
                 1, trips, p1_body, (cx0, cy0, Z0))
@@ -154,15 +165,15 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
                 return _repair(F, nd, Xp, Yp, Zp, X2, Y2, Z2)
 
             X, Y, Z = jax.lax.fori_loop(0, LEVELS, p2_body, (X, Y, Z))
-            ox[...], oy[...], oz[...] = (a[:, :B_TILE] for a in (X, Y, Z))
+            ox[...], oy[...], oz[...] = (a[:, :b_tile] for a in (X, Y, Z))
 
     out_shape = tuple(
-        jax.ShapeDtypeStruct((N, num_buckets), jnp.uint32)
+        jax.ShapeDtypeStruct((FW, num_buckets), jnp.uint32)
         for _ in range(3))
     cs = pl.BlockSpec((N, 1), lambda t: (0, 0))
-    gs = pl.BlockSpec((1, 2 * N, R * B_TILE), lambda t: (t, 0, 0))
-    ns = pl.BlockSpec((1, 1, B_TILE), lambda t: (t, 0, 0))
-    os_ = pl.BlockSpec((N, B_TILE), lambda t: (0, t))
+    gs = pl.BlockSpec((1, 2 * FW, R * b_tile), lambda t: (t, 0, 0))
+    ns = pl.BlockSpec((1, 1, b_tile), lambda t: (t, 0, 0))
+    os_ = pl.BlockSpec((FW, b_tile), lambda t: (0, t))
 
     @jax.jit
     def call(G, counts):
@@ -174,34 +185,37 @@ def _build_bucket_reduce(p: int, N: int, n0inv: int, one_mont: tuple,
             out_specs=(os_, os_, os_),
             interpret=interpret,
         )(p_np, one_np, G,
-          counts.reshape(T, 1, B_TILE).astype(jnp.int32))
+          counts.reshape(T, 1, b_tile).astype(jnp.int32))
 
     return call
 
 
-def bucket_reduce(fk, G, counts, R: int, interpret=False, r_sub=R_SUB):
+def bucket_reduce(fk, G, counts, R: int, interpret=False, r_sub=R_SUB,
+                  b_tile=B_TILE):
     """Reduce gathered interleaved point rows into per-bucket Jacobian
     sums.
 
-    fk: FpKernel; G: (T, 2N, R*B_TILE) uint32 (see module doc);
-    counts: (num_buckets,) int32. Returns (X, Y, Z) of shape
-    (N, num_buckets) with num_buckets = T * B_TILE.
+    fk: FpKernel or Fp2Kernel; G: (T, 2*FW, R*b_tile) uint32 (see
+    module doc); counts: (num_buckets,) int32. Returns (X, Y, Z) of
+    shape (FW, num_buckets) with num_buckets = T * b_tile.
     """
     nb = counts.shape[0]
-    assert nb % B_TILE == 0, f"num_buckets {nb} % {B_TILE} != 0"
+    assert nb % b_tile == 0, f"num_buckets {nb} % {b_tile} != 0"
     assert R % r_sub == 0, f"R {R} % {r_sub} != 0"
+    p, N, n0inv, onem, ext, bs, bn = _fk_info(fk)
     fn = _build_bucket_reduce(
-        fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np),
-        nb, R, interpret, r_sub)
+        p, N, n0inv, onem, nb, R, interpret, r_sub, ext, bs, bn, b_tile)
     return fn(G, counts)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_horner(p: int, N: int, n0inv: int, one_mont: tuple,
-                  W: int, c: int, interpret: bool = False):
+                  W: int, c: int, interpret: bool = False,
+                  ext: int = 1, beta_small: int = 0,
+                  beta_neg: bool = False):
     """Single-launch window combine: out = sum_w 2^(c w) S_w.
 
-    Input: (N, W) Jacobian coordinate arrays, window 0 = LSB. The loop
+    Input: (FW, W) Jacobian coordinate arrays, window 0 = LSB. The loop
     runs MSB-first: acc = 2^c acc + S_w. Single-lane group ops -- tiny
     data, the launch count (27 x 11 kernels in the XLA formulation) is
     what this kills."""
@@ -210,11 +224,13 @@ def _build_horner(p: int, N: int, n0inv: int, one_mont: tuple,
 
     p_np = np.asarray(int_to_limbs(p, N)).reshape(N, 1)
     one_np = np.array(one_mont, dtype=np.uint32).reshape(N, 1)
+    FW = ext * N
     LW = 128                               # full-lane tiles; lane 0 is
     assert W <= LW                         # the real Horner chain
 
     def kernel(p_ref, one_ref, sx, sy, sz, ox, oy, oz):
-        F = _F(p_ref[...], n0inv, one_ref[...])
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
         from .pallas_ec import _ec_dbl
         # rotate so lane 0 holds window W-1 (MSB); subsequent +1 rolls
         # walk lane 0 down through W-2 .. 0. Lanes != 0 run harmless
@@ -237,8 +253,8 @@ def _build_horner(p: int, N: int, n0inv: int, one_mont: tuple,
             0, W - 1, body, (AX, AY, AZ, AX, AY, AZ))
         ox[...], oy[...], oz[...] = X, Y, Z
 
-    shp = jax.ShapeDtypeStruct((N, LW), jnp.uint32)
-    fs = pl.BlockSpec((N, LW), lambda: (0, 0))
+    shp = jax.ShapeDtypeStruct((FW, LW), jnp.uint32)
+    fs = pl.BlockSpec((FW, LW), lambda: (0, 0))
     cs = pl.BlockSpec((N, 1), lambda: (0, 0))
 
     @jax.jit
@@ -257,10 +273,10 @@ def _build_horner(p: int, N: int, n0inv: int, one_mont: tuple,
 
 
 def horner_combine(fk, S, c: int, interpret=False):
-    """S: (X, Y, Z) arrays of shape (N, W), window 0 = LSB. Returns the
-    combined point as (N, 1) coordinate arrays."""
+    """S: (X, Y, Z) arrays of shape (FW, W) (FW = ext*N; Fp2 rows are
+    [c0 limbs; c1 limbs]), window 0 = LSB. Returns the combined point
+    as (FW, 1) coordinate arrays."""
     W = S[0].shape[-1]
-    fn = _build_horner(fk.p, fk.N, fk.n0inv,
-                       tuple(int(v) for v in fk.one_mont_np),
-                       W, c, interpret)
+    p, N, n0inv, onem, ext, bs, bn = _fk_info(fk)
+    fn = _build_horner(p, N, n0inv, onem, W, c, interpret, ext, bs, bn)
     return fn(*S)

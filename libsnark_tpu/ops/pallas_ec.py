@@ -22,9 +22,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
-from .pallas_fp import (_F, _fselect, _fzero_mask, pallas_enabled)
+from .pallas_fp import (_F, _F2, _fselect, _fzero_mask, pallas_enabled)
 
 _BLOCK = 1024
+
+
+def _fk_info(fk):
+    """(p, N, n0inv, one_mont, ext, beta_small, beta_neg) for a plain
+    FpKernel (ext=1) or an Fp2Kernel over a plain base (ext=2). The
+    (2N, L) Fp2 layout keeps every formula below unchanged -- _F2
+    carries the coefficient split internally (see pallas_fp._F2)."""
+    if type(fk).__name__ == "Fp2Kernel":
+        fp = fk.fp
+        return (fp.p, fp.N, fp.n0inv, tuple(int(v) for v in fp.one_mont_np),
+                2, fk.beta_small, bool(fk.beta_is_neg))
+    return (fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np),
+            1, 0, False)
+
+
+def _make_F(p_ref, one_ref, n0inv, ext, beta_small, beta_neg):
+    if ext == 2:
+        return _F2(p_ref, n0inv, one_ref, beta_small, beta_neg)
+    return _F(p_ref, n0inv, one_ref)
 
 
 def _ec_dbl(F, X, Y, Z):
@@ -233,13 +252,16 @@ def _const_operands(p: int, N: int, one_mont: tuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
+def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
+                ext: int = 1, beta_small: int = 0, beta_neg: bool = False):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
+    FW = ext * N
 
     def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, qi, va,
                ox, oy, oz, od):
-        F = _F(p_ref[...], n0inv, one_ref[...])
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
         X3, Y3, Z3, nd = _ec_madd_flag(F, x1[...], y1[...], z1[...],
                                        x2[...], y2[...],
                                        qi[...] != 0, va[...] != 0)
@@ -247,10 +269,10 @@ def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
         od[...] = nd.astype(jnp.uint32)
 
     block = min(_BLOCK, L)
-    fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    fs = pl.BlockSpec((FW, block), lambda i: (0, i))
     ms = pl.BlockSpec((1, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
-    shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((FW, L), jnp.uint32)
     mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
 
     @jax.jit
@@ -265,22 +287,25 @@ def _build_madd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
+def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
+               ext: int = 1, beta_small: int = 0, beta_neg: bool = False):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
+    FW = ext * N
 
     def kernel(p_ref, one_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz, od):
-        F = _F(p_ref[...], n0inv, one_ref[...])
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
         X3, Y3, Z3, nd = _ec_add_flag(F, x1[...], y1[...], z1[...],
                                       x2[...], y2[...], z2[...])
         ox[...], oy[...], oz[...] = X3, Y3, Z3
         od[...] = nd.astype(jnp.uint32)
 
     block = min(_BLOCK, L)
-    fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    fs = pl.BlockSpec((FW, block), lambda i: (0, i))
     ms = pl.BlockSpec((1, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
-    shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((FW, L), jnp.uint32)
     mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
 
     @jax.jit
@@ -294,22 +319,25 @@ def _build_add(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_aadd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
+def _build_aadd(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
+                ext: int = 1, beta_small: int = 0, beta_neg: bool = False):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
+    FW = ext * N
 
     def kernel(p_ref, one_ref, x1, y1, i1, x2, y2, i2, ox, oy, oz, od):
-        F = _F(p_ref[...], n0inv, one_ref[...])
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
         X3, Y3, Z3, nd = _ec_aadd_flag(F, x1[...], y1[...], i1[...] != 0,
                                        x2[...], y2[...], i2[...] != 0)
         ox[...], oy[...], oz[...] = X3, Y3, Z3
         od[...] = nd.astype(jnp.uint32)
 
     block = min(_BLOCK, L)
-    fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    fs = pl.BlockSpec((FW, block), lambda i: (0, i))
     ms = pl.BlockSpec((1, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
-    shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((FW, L), jnp.uint32)
     mshp = jax.ShapeDtypeStruct((1, L), jnp.uint32)
 
     @jax.jit
@@ -325,21 +353,24 @@ def _build_aadd(p: int, N: int, n0inv: int, one_mont: tuple, L: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_dbl(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
-               reps: int):
+               reps: int, ext: int = 1, beta_small: int = 0,
+               beta_neg: bool = False):
     from jax.experimental import pallas as pl
     p_arr, one_arr = _const_operands(p, N, one_mont)
+    FW = ext * N
 
     def kernel(p_ref, one_ref, x1, y1, z1, ox, oy, oz):
-        F = _F(p_ref[...], n0inv, one_ref[...])
+        F = _make_F(p_ref[...], one_ref[...], n0inv, ext,
+                    beta_small, beta_neg)
         X, Y, Z = x1[...], y1[...], z1[...]
         for _ in range(reps):
             X, Y, Z = _ec_dbl(F, X, Y, Z)
         ox[...], oy[...], oz[...] = X, Y, Z
 
     block = min(_BLOCK, L)
-    fs = pl.BlockSpec((N, block), lambda i: (0, i))
+    fs = pl.BlockSpec((FW, block), lambda i: (0, i))
     cs = pl.BlockSpec((N, 1), lambda i: (0, 0))
-    shp = jax.ShapeDtypeStruct((N, L), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((FW, L), jnp.uint32)
 
     @jax.jit
     def call(x1, y1, z1):
@@ -354,9 +385,14 @@ def _build_dbl(p: int, N: int, n0inv: int, one_mont: tuple, L: int,
 # -------------------------------------------------------------------- wrappers
 
 def _flatten(fk, arrs, mask_arrs=()):
-    """(N, *batch) field arrays + (*batch,) masks -> padded (N, L)/(1, L)."""
-    N = fk.N
-    batch = arrs[0].shape[1:]
+    """Field arrays + (*batch,) masks -> padded (FW, L)/(1, L).
+
+    Plain Fp arrays are (N, *batch); Fp2 arrays are (2, N, *batch) and
+    flatten coefficient-major to (2N, L) (the _F2 kernel layout)."""
+    _, N, _, _, ext, _, _ = _fk_info(fk)
+    lead = (2, N) if ext == 2 else (N,)
+    FW = ext * N
+    batch = arrs[0].shape[len(lead):]
     L = int(np.prod(batch)) if batch else 1
     pad = (-L) % 128
     Lp = L + pad
@@ -364,7 +400,7 @@ def _flatten(fk, arrs, mask_arrs=()):
         Lp += (-Lp) % _BLOCK
     outs = []
     for a in arrs:
-        a2 = jnp.broadcast_to(a, (N,) + batch).reshape(N, L)
+        a2 = jnp.broadcast_to(a, lead + batch).reshape(FW, L)
         if Lp != L:
             a2 = jnp.pad(a2, ((0, 0), (0, Lp - L)))
         outs.append(a2)
@@ -377,11 +413,9 @@ def _flatten(fk, arrs, mask_arrs=()):
 
 
 def _unflatten(fk, outs, batch, L):
-    return tuple(o[:, :L].reshape((fk.N,) + batch) for o in outs)
-
-
-def _key(fk):
-    return (fk.p, fk.N, fk.n0inv, tuple(int(v) for v in fk.one_mont_np))
+    _, N, _, _, ext, _, _ = _fk_info(fk)
+    lead = (2, N) if ext == 2 else (N,)
+    return tuple(o[:, :L].reshape(lead + batch) for o in outs)
 
 
 def _dbl_repair(fk, P_flat, outs, Lp):
@@ -389,13 +423,14 @@ def _dbl_repair(fk, P_flat, outs, Lp):
     P == Q (as group elements) left the kernel as infinity; a lax.cond
     runs the dbl kernel + select only when some lane actually collided
     (never, for random MSM inputs -- the branch is skipped at runtime).
-    P_flat: the padded (N, Lp) Jacobian triple to double."""
+    P_flat: the padded (FW, Lp) Jacobian triple to double."""
     X3, Y3, Z3, nd = outs
-    p, N, n0, onem = _key(fk)
+    p, N, n0, onem, ext, bs, bn = _fk_info(fk)
 
     def fix(args):
         (x1, y1, z1), (X3, Y3, Z3, nd) = args
-        dX, dY, dZ = _build_dbl(p, N, n0, onem, Lp, 1)(x1, y1, z1)
+        dX, dY, dZ = _build_dbl(p, N, n0, onem, Lp, 1, ext, bs, bn)(
+            x1, y1, z1)
         m = nd != 0
         return (jnp.where(m, dX, X3), jnp.where(m, dY, Y3),
                 jnp.where(m, dZ, Z3))
@@ -407,21 +442,21 @@ def _dbl_repair(fk, P_flat, outs, Lp):
 def madd(fk, P, Q_aff, valid=None):
     X1, Y1, Z1 = P
     X2, Y2, q_inf = Q_aff
-    batch = X1.shape[1:]
+    p, N, n0, onem, ext, bs, bn = _fk_info(fk)
+    batch = X1.shape[2:] if ext == 2 else X1.shape[1:]
     if valid is None:
         valid = jnp.ones(batch, bool)
     flat, batch, L, Lp = _flatten(
         fk, (X1, Y1, Z1, X2, Y2), (q_inf, valid))
-    p, N, n0, onem = _key(fk)
-    outs = _build_madd(p, N, n0, onem, Lp)(*flat)
+    outs = _build_madd(p, N, n0, onem, Lp, ext, bs, bn)(*flat)
     fixed = _dbl_repair(fk, tuple(flat[:3]), outs, Lp)
     return _unflatten(fk, fixed, batch, L)
 
 
 def add(fk, P, Q):
     flat, batch, L, Lp = _flatten(fk, (*P, *Q))
-    p, N, n0, onem = _key(fk)
-    outs = _build_add(p, N, n0, onem, Lp)(*flat)
+    p, N, n0, onem, ext, bs, bn = _fk_info(fk)
+    outs = _build_add(p, N, n0, onem, Lp, ext, bs, bn)(*flat)
     fixed = _dbl_repair(fk, tuple(flat[:3]), outs, Lp)
     return _unflatten(fk, fixed, batch, L)
 
@@ -432,23 +467,35 @@ def aadd(fk, P_aff, Q_aff):
     x2, y2, i2 = Q_aff
     flat, batch, L, Lp = _flatten(fk, (x1, y1), (i1,))
     flat2, _, _, _ = _flatten(fk, (x2, y2), (i2,))
-    p, N, n0, onem = _key(fk)
-    outs = _build_aadd(p, N, n0, onem, Lp)(*flat, *flat2)
+    p, N, n0, onem, ext, bs, bn = _fk_info(fk)
+    outs = _build_aadd(p, N, n0, onem, Lp, ext, bs, bn)(*flat, *flat2)
     # repair target: P1 lifted to Jacobian (Z = Montgomery one); padding
     # lanes are flagged never (i1 true there)
-    oneZ = jnp.broadcast_to(
-        jnp.asarray(np.array(onem, np.uint32).reshape(N, 1)), (N, Lp))
+    one_np = np.array(onem, np.uint32).reshape(N, 1)
+    if ext == 2:
+        one_np = np.concatenate(
+            [one_np, np.zeros((N, 1), np.uint32)], axis=0)
+    oneZ = jnp.broadcast_to(jnp.asarray(one_np), (ext * N, Lp))
     fixed = _dbl_repair(fk, (flat[0], flat[1], oneZ), outs, Lp)
     return _unflatten(fk, fixed, batch, L)
 
 
 def dbl(fk, P, reps: int = 1):
     flat, batch, L, Lp = _flatten(fk, P)
-    p, N, n0, onem = _key(fk)
-    outs = _build_dbl(p, N, n0, onem, Lp, reps)(*flat)
+    p, N, n0, onem, ext, bs, bn = _fk_info(fk)
+    outs = _build_dbl(p, N, n0, onem, Lp, reps, ext, bs, bn)(*flat)
     return _unflatten(fk, outs, batch, L)
 
 
 def ec_pallas_ok(fk) -> bool:
-    """Fused G1 kernels: TPU backend + plain-Fp coordinates only."""
-    return pallas_enabled() and not hasattr(fk, "fp")
+    """Fused kernels: TPU backend + plain-Fp coordinates, or (r5)
+    Fp2-over-plain-Fp with a small addition-chain non-residue (the G2
+    fields of alt_bn128 / bls12_377; MNT towers stay on the jnp path).
+    The a = 0 requirement is enforced by CurveKernel's mul_by_a gate."""
+    if not pallas_enabled():
+        return False
+    if not hasattr(fk, "fp"):
+        return True
+    return (type(fk).__name__ == "Fp2Kernel"
+            and not hasattr(fk.fp, "fp")
+            and 1 <= fk.beta_small <= 8)

@@ -192,6 +192,99 @@ class _F:
         return jnp.zeros_like(like)
 
 
+class _F2:
+    """Fp2 field-op bundle for kernel bodies (r5): elements are
+    (2N, L) uint32 arrays -- c0 limbs in rows [0, N), c1 in [N, 2N).
+
+    This layout keeps the generic EC formulas (pallas_ec._ec_*)
+    unchanged: _fzero_mask over 2N rows IS the Fp2 zero test, (1, L)
+    masks broadcast over both coefficient blocks, and lane rolls move
+    both coefficients together. Karatsuba stacks its three base-field
+    products into ONE CIOS body at 3L lanes (one call site).
+
+    beta (the quadratic non-residue, s^2 = beta) enters as a small
+    signed constant: |beta| <= 8 via an addition chain (alt_bn128 -1,
+    BLS12-377 -5). Reference role: libff Fp2_model over the G2 twist
+    (r1cs_gg_ppzksnark.tcc:544-556 B-query MSM operands).
+    """
+
+    def __init__(self, p_col, n0inv, one_col, beta_small, beta_is_neg):
+        self.p_col = p_col
+        self.n0inv = n0inv
+        self.one_col = one_col
+        self.N = p_col.shape[0]
+        assert 1 <= beta_small <= 8, "addition-chain beta only"
+        self.beta_small = beta_small
+        self.beta_is_neg = beta_is_neg
+
+    def _nr(self, a):
+        """a * beta on a base-field (N, L) block."""
+        out = a
+        for bit in bin(self.beta_small)[3:]:
+            out = _fadd(out, out, self.p_col)
+            if bit == "1":
+                out = _fadd(out, a, self.p_col)
+        if self.beta_is_neg:
+            out = _fsub(jnp.zeros_like(out), out, self.p_col)
+        return out
+
+    def mul(self, a, b):
+        N = self.N
+        L = a.shape[-1]
+        a0, a1 = a[:N], a[N:]
+        b0, b1 = b[:N], b[N:]
+        sa = _fadd(a0, a1, self.p_col)
+        sb = _fadd(b0, b1, self.p_col)
+        A = jnp.concatenate([a0, a1, sa], axis=-1)
+        B = jnp.concatenate([b0, b1, sb], axis=-1)
+        P = _mul_body(A, B, self.p_col, self.n0inv, N)
+        v0, v1, t = P[:, :L], P[:, L:2 * L], P[:, 2 * L:]
+        c0 = _fadd(v0, self._nr(v1), self.p_col)
+        c1 = _fsub(_fsub(t, v0, self.p_col), v1, self.p_col)
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def sqr(self, a):
+        # complex squaring: v = a0 a1; u = (a0+a1)(a0+beta a1);
+        # c0 = u - v - beta v; c1 = 2v  -- two stacked products
+        N = self.N
+        L = a.shape[-1]
+        a0, a1 = a[:N], a[N:]
+        t0 = _fadd(a0, a1, self.p_col)
+        t1 = _fadd(a0, self._nr(a1), self.p_col)
+        A = jnp.concatenate([a0, t0], axis=-1)
+        B = jnp.concatenate([a1, t1], axis=-1)
+        P = _mul_body(A, B, self.p_col, self.n0inv, N)
+        v, u = P[:, :L], P[:, L:]
+        c0 = _fsub(_fsub(u, v, self.p_col), self._nr(v), self.p_col)
+        c1 = _fadd(v, v, self.p_col)
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def _both(self, f, a, b=None):
+        N = self.N
+        if b is None:
+            return jnp.concatenate([f(a[:N]), f(a[N:])], axis=0)
+        return jnp.concatenate([f(a[:N], b[:N]), f(a[N:], b[N:])], axis=0)
+
+    def add(self, a, b):
+        return self._both(lambda x, y: _fadd(x, y, self.p_col), a, b)
+
+    def sub(self, a, b):
+        return self._both(lambda x, y: _fsub(x, y, self.p_col), a, b)
+
+    def dbl(self, a):
+        return self._both(lambda x: _fadd(x, x, self.p_col), a)
+
+    def one(self, like):
+        N = self.N
+        shape = (N,) + like.shape[1:]
+        return jnp.concatenate(
+            [jnp.broadcast_to(self.one_col, shape).astype(jnp.uint32),
+             jnp.zeros(shape, jnp.uint32)], axis=0)
+
+    def zero(self, like):
+        return jnp.zeros_like(like)
+
+
 # ------------------------------------------------------------------ builders
 
 @functools.lru_cache(maxsize=None)

@@ -180,8 +180,27 @@ class PairingSystem:
         if cache is None:
             cache = self._msm_jits = {}
         mk = self.msm_g1 if which == "g1" else self.msm_g2
+        fused_ext = False
+        if which != "g1":
+            from ..ops.pallas_ec import ec_pallas_ok
+            import os as _os
+            fused_ext = (_os.environ.get("LIBSNARK_TPU_MSM_FUSED",
+                                         "auto") != "0"
+                         and ec_pallas_ok(mk.fk)
+                         and mk.ck.mul_by_a is None)
+            if fused_ext and c >= 10:
+                # Fp2 rows are 2x wide, so the VMEM R-cap binds at
+                # c = 10 (two gather passes); c = 11 measured 280 vs
+                # 308 ms at 2^16 (r5 sweep_msm_c.py, SWEEP_GROUP=g2)
+                c = min(c + 1, 14)
         if which != "g1" and scalars.shape[-1] > mk.SEGMENT:
-            return self._msm_affine_seg_eager(mk, q, scalars, c)
+            if not fused_ext:
+                # dense Fp2 body under lax.scan faults the v5e worker
+                # (scripts/repro_v5e_fp2_scan_fault.py) -- host loop
+                return self._msm_affine_seg_eager(mk, q, scalars, c)
+            # fused Fp2 segments are a different program: the scan-
+            # segmented path (one compiled body) has not shown the
+            # fault and is the default since r5
         key = (which, c)
         if key not in cache:
             ck = mk.ck

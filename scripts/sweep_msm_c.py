@@ -45,17 +45,29 @@ from libsnark_tpu.ops.limbs import LIMB_BITS
 logm = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 cs = [int(a) for a in sys.argv[2:]] or [10, 11, 12, 13]
 m = 1 << logm
-curve = get_curve("alt_bn128")
+group = os.environ.get("SWEEP_GROUP", "g1")      # g1 | g2 (Fp2, r5)
+curve = get_curve(os.environ.get("SWEEP_CURVE", "alt_bn128"))
 fq = FpKernel(curve.fq_params)
-ck = CurveKernel(fq, "G1")
+if group == "g2":
+    from libsnark_tpu.ops.fp2 import Fp2Kernel
+    fk = Fp2Kernel(fq, int(curve.Fq2.NON_RESIDUE))
+    ck = CurveKernel(fk, f"{curve.name}.G2")
+    lead = (2, fq.N)
+else:
+    fk = fq
+    ck = CurveKernel(fq, "G1")
+    lead = (fq.N,)
 mk = MSMKernel(ck, curve.r.bit_length())
-print(f"# backend={jax.default_backend()} m=2^{logm} fused="
+print(f"# backend={jax.default_backend()} m=2^{logm} group={group} "
+      f"curve={curve.name} fused="
       f"{os.environ.get('LIBSNARK_TPU_MSM_FUSED')}", flush=True)
 
 rng = np.random.default_rng(0)
 nl = -(-curve.r.bit_length() // LIMB_BITS)
-x = jnp.asarray(rng.integers(0, 1 << 16, size=(fq.N, m), dtype=np.uint32))
-y = jnp.asarray(rng.integers(0, 1 << 16, size=(fq.N, m), dtype=np.uint32))
+x = jnp.asarray(rng.integers(0, 1 << 16, size=lead + (m,),
+                             dtype=np.uint32))
+y = jnp.asarray(rng.integers(0, 1 << 16, size=lead + (m,),
+                             dtype=np.uint32))
 inf = jnp.zeros((m,), dtype=bool)
 
 

@@ -45,8 +45,36 @@ def test_fused_bucket_msm_matches_oracle(bn254, m, sbits, c):
     assert got == _msm_oracle(curve, pts, scalars)
 
 
-def _disabled_placeholder():
-    pass
+@pytest.mark.slow
+def test_fused_bucket_msm_g2_matches_oracle(bn254):
+    """Fp2 (G2) fused path (r5): the same kernel with the _F2 bundle --
+    rows [x0 x1 | y0 y1] -- must match the host G2 MSM oracle including
+    signed digits and infinity lanes. Reference role: the kc B-query
+    G2 MSM (r1cs_gg_ppzksnark.tcc:544-556)."""
+    from libsnark_tpu.ops.fp2 import Fp2Kernel
+    curve = bn254
+    fq = FpKernel(curve.fq_params)
+    fq2 = Fp2Kernel(fq, int(curve.Fq2.NON_RESIDUE))
+    ck = CurveKernel(fq2, f"{curve.name}.G2")
+    m, sbits, c = 24, 12, 4
+    mk = MSMKernel(ck, sbits)
+    rng = np.random.default_rng(11)
+    G = curve.G2.one()
+    pts = [G * int(rng.integers(1, 1 << 62)) for _ in range(m - 1)]
+    pts.append(curve.G2.zero())              # infinity input lane
+    scalars = [int(rng.integers(0, 1 << sbits)) for _ in range(m)]
+    scalars[1] = 0                           # zero scalar lane
+
+    paff = ck.encode_points(pts, jacobian=False)
+    sc = jnp.asarray(ints_to_limbs(scalars, -(-sbits // 16)))
+
+    S = mk.window_sums_fused(paff, sc, c, interpret=True)
+    out = mk.combine_windows(S, c)
+    got = ck.decode_points(out, curve.G2)[0]
+    acc = curve.G2.zero()
+    for P, s in zip(pts, scalars):
+        acc = acc + P * s
+    assert got == acc
 
 
 @pytest.mark.slow
