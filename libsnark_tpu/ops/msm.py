@@ -815,6 +815,51 @@ class MSMKernel:
         out, _ = jax.lax.scan(comb, ck.zero((1,)), S_rev)
         return out
 
+    # ------------------------------------------- host-driven segmentation
+    def msm_eager_segmented(self, points_aff, scalars, c: int = None):
+        """Host-loop segmentation for VERY large MSMs: one jitted
+        window-sums chunk executable reused across SEGMENT-point
+        slices + a jitted point-add combine, instead of one giant
+        `lax.scan` program.
+
+        Exists because huge scan-segmented MSM programs are a v5e
+        worker-crash risk class: r4 bisected the Fp2 dense body
+        (scripts/repro_v5e_fp2_scan_fault.py); r5 found the KZG 2^22
+        commit (64 fused G1 segments over the device-built SRS) also
+        kills the worker while the same-shape MSM over freshly-built
+        inputs passes — the trigger is not fully root-caused, so the
+        2^22-class entry points route here (~segments x RTT extra
+        dispatch cost, noise at this scale). Groth16-scale (<= 2^21)
+        scans have been solid and keep the in-graph path."""
+        c = c or default_window_bits(scalars.shape[-1])
+        ck = self.ck
+        S = self.SEGMENT
+        m = scalars.shape[-1]
+        x, y, inf = points_aff
+        pad = (-m) % S
+        if pad:
+            cfg = lambda a, v=0: jnp.pad(
+                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                constant_values=v)
+            x, y = cfg(x), cfg(y)
+            inf = cfg(inf, True)
+            scalars = jnp.pad(
+                scalars, [(0, 0)] * (scalars.ndim - 1) + [(0, pad)])
+        nseg = (m + pad) // S
+        chunk = jax.jit(lambda p, s: tuple(
+            jnp.moveaxis(a, 0, -2)
+            for a in self._window_sums_chunk(p, s, c)))
+        comb = jax.jit(lambda A, B: ck.add(A, B))
+        W = -(-self.scalar_bits // c) + 1
+        acc = ck.zero((W, 1))
+        for k in range(nseg):
+            sl = slice(k * S, (k + 1) * S)
+            Sw = chunk((x[..., sl], y[..., sl], inf[..., sl]),
+                       scalars[..., sl])
+            acc = comb(acc, Sw)
+        return self.combine_windows(
+            _tree_map(lambda a: jnp.moveaxis(a, -2, 0), acc), c)
+
     # ---------------------------------------------------- compile-lean MSM
     def msm_simple(self, points_aff, scalars):
         """Scan-based double-and-add MSM: per-lane scalar multiply (one

@@ -99,8 +99,17 @@ class KZG10:
         padded = [c % self.curve.r for c in coeffs] + [0] * (nb - n)
         sc = jnp.asarray(ints_to_limbs(padded, self.scalar_limbs))
         pts = tuple(a[..., :nb] for a in srs.alpha_powers_g1)
-        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
-                      )(pts, sc)
+        import os
+        eager = os.environ.get("LIBSNARK_TPU_MSM_EAGER", "auto")
+        if eager != "0" and (eager == "1" or nb > (1 << 21)):
+            # 2^22-class scan programs are a v5e worker-crash risk
+            # (see MSMKernel.msm_eager_segmented); host-loop segments
+            out = self.msm.msm_eager_segmented(
+                pts, sc, default_window_bits(nb))
+        else:
+            out = jax.jit(
+                lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
+            )(pts, sc)
         return KZG10Commitment(self.g1.decode_points(out, self.curve.G1)[0])
 
     # -- evaluation + witness ------------------------------------------------------
@@ -129,22 +138,33 @@ class KZG10:
         a = jnp.asarray(self.fr.encode(cs))
         dinv_dev = jnp.asarray(self.fr.encode(dinv))
         v_enc = jnp.asarray(self.fr.encode([v] * m))
+        # twiddle/coset tables as jit ARGUMENTS: inline literals at
+        # 2^22 are hundreds of MB of HLO and break the remote compile
+        # service (r5; same fix as the Groth16 witness map)
+        dt = dom.device_tables()
 
         @jax.jit
-        def quotient(a, dinv_dev, v_enc):
-            evals = dom.coset_fft(a)
+        def quotient(a, dinv_dev, v_enc, dt):
+            evals = dom.coset_fft(a, dt=dt)
             q_evals = self.fr.mul(self.fr.sub(evals, v_enc), dinv_dev)
-            return self.fr.from_mont(dom.icoset_fft(q_evals))
+            return self.fr.from_mont(dom.icoset_fft(q_evals, dt=dt))
 
-        q_plain = quotient(a, dinv_dev, v_enc)   # (N, m), degree <= n-2
+        q_plain = quotient(a, dinv_dev, v_enc, dt)  # (N, m), deg <= n-2
         nq = n - 1
         nb = min(self._bucket(nq), srs.alpha_powers_g1[0].shape[-1])
         pts = tuple(arr[..., :nb] for arr in srs.alpha_powers_g1)
         sc = q_plain[..., :nq]
         if nb > nq:
             sc = jnp.pad(sc, [(0, 0)] * (sc.ndim - 1) + [(0, nb - nq)])
-        out = jax.jit(lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
-                      )(pts, sc)
+        import os
+        eager = os.environ.get("LIBSNARK_TPU_MSM_EAGER", "auto")
+        if eager != "0" and (eager == "1" or nb > (1 << 21)):
+            out = self.msm.msm_eager_segmented(
+                pts, sc, default_window_bits(nb))
+        else:
+            out = jax.jit(
+                lambda p, s: self.msm.msm(p, s, default_window_bits(nb))
+            )(pts, sc)
         return v, KZG10Commitment(self.g1.decode_points(out, self.curve.G1)[0])
 
     # -- verification -----------------------------------------------------------------

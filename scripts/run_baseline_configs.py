@@ -186,6 +186,14 @@ def step_groth10():
     _groth_roundtrip("alt_bn128", 10, "groth16_2e10_roundtrip")
 
 
+def step_groth12():
+    _groth_roundtrip("alt_bn128", 12, "groth16_2e12_prove", repeats=3)
+
+
+def step_groth16c():
+    _groth_roundtrip("alt_bn128", 16, "groth16_2e16_prove", repeats=3)
+
+
 def step_groth20():
     _groth_roundtrip("alt_bn128", 20, "groth16_2e20_prove")
 
@@ -210,6 +218,10 @@ def step_kzg22():
     t0 = time.monotonic()
     com = kzg.commit(srs, coeffs)
     t_commit = time.monotonic() - t0
+    # record the partial result so a flaky remote-compile in the open
+    # phase doesn't lose the setup/commit evidence
+    record("kzg_2e22", ok=False, phase="commit_done",
+           setup_s=round(t_setup, 2), commit_s=round(t_commit, 2))
     point = 12345
     t0 = time.monotonic()
     value, w = kzg.create_evaluation_witness(srs, coeffs, point)
@@ -221,7 +233,8 @@ def step_kzg22():
 
 
 STEPS = {"msm16": step_msm16, "ifft16": step_ifft16,
-         "groth10": step_groth10, "groth20": step_groth20,
+         "groth10": step_groth10, "groth12": step_groth12,
+         "groth16c": step_groth16c, "groth20": step_groth20,
          "bls377": step_bls377, "bls377_20": step_bls377_20,
          "kzg22": step_kzg22}
 
