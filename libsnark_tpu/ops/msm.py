@@ -598,9 +598,17 @@ class MSMKernel:
             rounds_pad = int(mean + 1.35 * math.sqrt(
                 2.0 * max(mean, 1.0) * math.log(max(W * B, 2))) + 8)
         # multiple of R_SUB, capped so the kernel's (2*FW, R*128) block
-        # stays within a ~4 MB VMEM budget (double-buffered by the
-        # pipeline); deeper buckets take extra outer chunk passes
-        R_CAP = max(R_SUB, (4 << 20) // (2 * FW * B_TILE * 4))
+        # stays within a VMEM budget (double-buffered by the pipeline);
+        # deeper buckets take extra outer chunk passes. Wide fields
+        # (FW >= 48: BLS12-377 Fp2) also halve the phase-1 compute
+        # width -- the v5e scoped-vmem limit is 16 MB and the N=24 Fp2
+        # body at CW=512 with a 4 MB block measured 16.86 MB (r5).
+        if FW >= 48:
+            R_SUB = min(R_SUB, 2)
+            budget = 2 << 20
+        else:
+            budget = 4 << 20
+        R_CAP = max(R_SUB, budget // (2 * FW * B_TILE * 4))
         R = -(-max(min(rounds_pad, R_CAP), R_SUB) // R_SUB) * R_SUB
 
         gidx, starts, counts = self._sort_signed_bounds(
@@ -676,6 +684,15 @@ class MSMKernel:
             classes = [(0, T_hi, R_g)]
             if T_hi < T:
                 classes.append((T_hi, T, R_lo))
+            # sub-split classes so each kernel call's OUT coordinate
+            # arrays (3 x FW x tiles*B_TILE u32, which XLA keeps in
+            # VMEM next to the gathered block) stay inside the 16 MB
+            # scoped-vmem limit -- the BLS12-377 (N=24) Fp2 kernel at
+            # 185 tiles hit "scoped allocation 16.86M > 16.00M" (r5)
+            t_max = max(1, (6 << 20) // (12 * FW * B_TILE))
+            classes = [(ts, min(ts + t_max, t1), R_c)
+                       for (t0, t1, R_c) in classes
+                       for ts in range(t0, t1, t_max)]
             max_count = jnp.max(cfl)
             cls_data = []
             for (t0, t1, R_c) in classes:

@@ -191,8 +191,10 @@ class PairingSystem:
             if fused_ext and c >= 10:
                 # Fp2 rows are 2x wide, so the VMEM R-cap binds at
                 # c = 10 (two gather passes); c = 11 measured 280 vs
-                # 308 ms at 2^16 (r5 sweep_msm_c.py, SWEEP_GROUP=g2)
-                c = min(c + 1, 14)
+                # 308 ms at 2^16 (r5 sweep_msm_c.py, SWEEP_GROUP=g2).
+                # Wide base fields (N = 24, BLS12-377) halve the cap
+                # again -- bump one more window bit.
+                c = min(c + (2 if mk.fk.N >= 24 else 1), 14)
         if which != "g1" and scalars.shape[-1] > mk.SEGMENT:
             if not fused_ext:
                 # dense Fp2 body under lax.scan faults the v5e worker
